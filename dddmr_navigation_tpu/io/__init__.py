@@ -1,0 +1,7 @@
+from dddmr_navigation_tpu.io.pcd import read_pcd, write_pcd
+from dddmr_navigation_tpu.io.maps import (
+    flat_ground_map,
+    ramp_ground_map,
+    corridor_map,
+    voxel_downsample,
+)

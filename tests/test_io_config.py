@@ -1,0 +1,98 @@
+import numpy as np
+
+from dddmr_navigation_tpu.io import read_pcd, write_pcd, flat_ground_map, corridor_map, voxel_downsample
+from dddmr_navigation_tpu.io.maps import box_obstacle
+from dddmr_navigation_tpu.config import NavigationConfig, load_yaml_config
+
+
+def test_pcd_roundtrip_binary(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 4)).astype(np.float32)
+    p = tmp_path / "a.pcd"
+    write_pcd(str(p), pts, fields=("x", "y", "z", "intensity"), binary=True)
+    back = read_pcd(str(p))
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_pcd_roundtrip_ascii(tmp_path):
+    pts = np.random.default_rng(1).normal(size=(50, 3)).astype(np.float32)
+    p = tmp_path / "b.pcd"
+    write_pcd(str(p), pts, binary=False)
+    back = read_pcd(str(p))
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_synthetic_maps():
+    g = flat_ground_map(10, 10, 0.5)
+    assert g.shape[1] == 3 and len(g) == 21 * 21
+    ground, walls = corridor_map()
+    assert walls[:, 2].max() >= 1.9
+    obs = box_obstacle((1.0, 0.0, 0.0))
+    assert len(obs) > 0
+
+
+def test_voxel_downsample():
+    pts = np.array([[0.01, 0.01, 0.0], [0.02, 0.02, 0.0], [1.0, 1.0, 0.0]], np.float32)
+    out = voxel_downsample(pts, 0.1)
+    assert out.shape[0] == 2
+
+
+def test_default_config_hashable():
+    cfg = NavigationConfig()
+    assert hash(cfg) is not None
+    assert cfg.local_planner.generator.limits.max_vel_x == 1.0
+    assert len(cfg.local_planner.cuboid.corners()) == 8
+
+
+def test_load_reference_yaml(tmp_path):
+    # A minimal reference-format YAML exercising ingestion.
+    y = tmp_path / "cfg.yaml"
+    y.write_text(
+        """
+p2p_move_base:
+  ros__parameters:
+    controller_frequency: 20.0
+local_planner:
+  ros__parameters:
+    forward_prune: 2.5
+    xy_goal_tolerance: 0.2
+trajectory_generators:
+  ros__parameters:
+    differential_drive_simple:
+      max_vel_x: 0.8
+      sim_time: 3.0
+      linear_x_sample: 4.0
+      cuboid:
+        flb: [0.3, 0.25, 0.0]
+        frb: [0.3, -0.25, 0.0]
+        flt: [0.3, 0.25, 0.5]
+        frt: [0.3, -0.25, 0.5]
+        blb: [-0.3, 0.25, 0.0]
+        brb: [-0.3, -0.25, 0.0]
+        blt: [-0.3, 0.25, 0.5]
+        brt: [-0.3, -0.25, 0.5]
+mpc_critics:
+  ros__parameters:
+    stick_path:
+      plugin: "mpc_critics::StickPathModel"
+      weight: 0.2
+perception_3d_local:
+  ros__parameters:
+    inscribed_radius: 0.4
+    lidar:
+      resolution: 0.1
+mcl_3dl:
+  ros__parameters:
+    num_particles: 30
+"""
+    )
+    cfg = load_yaml_config(str(y))
+    assert cfg.move_base.controller_frequency == 20.0
+    assert cfg.local_planner.forward_prune == 2.5
+    assert cfg.local_planner.generator.limits.max_vel_x == 0.8
+    assert cfg.local_planner.generator.sim_time == 3.0
+    assert cfg.local_planner.generator.linear_x_sample == 4
+    assert cfg.local_planner.generator.cuboid.flb == (0.3, 0.25, 0.0)
+    assert cfg.local_planner.critics.stick_path.weight == 0.2
+    assert cfg.perception.inscribed_radius == 0.4
+    assert cfg.perception.lidar.xy_resolution == 0.1
+    assert cfg.mcl.num_particles == 30
