@@ -1,0 +1,98 @@
+"""Euclidean cluster extraction, TPU-style.
+
+The reference segments each scan with PCL's EuclideanClusterExtraction
+(KD-tree flood fill, `multilayer_spinning_lidar.cpp:327-336`) and then
+accepts/rejects whole clusters by centroid tests. On TPU we voxelize the
+scan into the perception window and run **connected-component labeling by
+iterative min-label propagation**: every occupied cell starts with its own
+linear index as label; each sweep takes the min label over the
+neighborhood cube implied by the cluster tolerance (via
+``lax.reduce_window``); convergence is geometric in cluster diameter.
+No KD-trees, no data-dependent shapes — ragged clusters become a padded
+(MAX_CLUSTERS,) table of centroids + sizes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def label_components(occ, tol_cells: int = 2, num_iters: int = 24):
+    """Label connected components of a 3D occupancy grid.
+
+    Args:
+      occ: (X, Y, Z) bool/int occupancy.
+      tol_cells: neighborhood radius in cells ≈ cluster tolerance /
+        resolution (PCL tolerance 0.1 m at 0.05 m cells → 2).
+      num_iters: propagation sweeps; labels converge once num_iters ≥
+        max cluster diameter / tol_cells. Fixed for jit-friendliness.
+
+    Returns:
+      (X, Y, Z) int32 labels; -1 where unoccupied. Labels are arbitrary
+      (min linear cell index of the component).
+    """
+    occ = occ.astype(bool)
+    x, y, z = occ.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, occ.shape, 0) * (y * z)
+        + jax.lax.broadcasted_iota(jnp.int32, occ.shape, 1) * z
+        + jax.lax.broadcasted_iota(jnp.int32, occ.shape, 2)
+    )
+    import numpy as np
+    big = np.int32(x * y * z + 1)  # concrete: reduce_window init must not trace
+    labels = jnp.where(occ, lin, big)
+    win = 2 * tol_cells + 1
+
+    def sweep(_, lbl):
+        prop = lax.reduce_window(
+            lbl, big, lax.min,
+            window_dimensions=(win, win, win),
+            window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+        return jnp.where(occ, jnp.minimum(lbl, prop), big)
+
+    labels = lax.fori_loop(0, num_iters, sweep, labels)
+    return jnp.where(occ, labels, -1)
+
+
+def cluster_table(labels, occ, cell_pos, max_clusters: int):
+    """Reduce labeled cells to a padded cluster table.
+
+    Args:
+      labels: (X,Y,Z) int32 from :func:`label_components`.
+      occ: (X,Y,Z) occupancy.
+      cell_pos: (X,Y,Z,3) world position of each cell.
+      max_clusters: static table size K.
+
+    Returns:
+      centroids: (K, 3) f32 (garbage rows where invalid)
+      sizes: (K,) int32 cell count (0 where invalid)
+      cell_cluster_idx: (X,Y,Z) int32 index into the table (-1 unoccupied
+        or overflowed cluster).
+    """
+    flat_labels = labels.reshape(-1)
+    flat_occ = occ.reshape(-1).astype(bool)
+    flat_pos = cell_pos.reshape(-1, 3)
+
+    uniq = jnp.unique(
+        jnp.where(flat_occ, flat_labels, jnp.iinfo(jnp.int32).max),
+        size=max_clusters + 1, fill_value=jnp.iinfo(jnp.int32).max)
+    uniq = uniq[:max_clusters]
+    valid_cluster = uniq != jnp.iinfo(jnp.int32).max
+
+    idx = jnp.searchsorted(uniq, flat_labels)
+    idx = jnp.clip(idx, 0, max_clusters - 1)
+    matched = flat_occ & (uniq[idx] == flat_labels)
+    idx = jnp.where(matched, idx, max_clusters)  # overflow bucket
+
+    sizes = jnp.zeros((max_clusters + 1,), jnp.int32).at[idx].add(
+        flat_occ.astype(jnp.int32))
+    sums = jnp.zeros((max_clusters + 1, 3), jnp.float32).at[idx].add(
+        jnp.where(matched[:, None], flat_pos, 0.0))
+    sizes = sizes[:max_clusters] * valid_cluster
+    centroids = sums[:max_clusters] / jnp.maximum(sizes, 1)[:, None]
+
+    cell_cluster_idx = jnp.where(matched, idx, -1).reshape(labels.shape)
+    return centroids, sizes, cell_cluster_idx

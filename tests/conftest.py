@@ -2,8 +2,10 @@
 paths are exercised without TPU hardware (SURVEY.md §4 implication)."""
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. Force-override: the ambient environment
+# pins JAX_PLATFORMS=axon (remote TPU tunnel), which would route every
+# eager op through the tunnel and slow tests ~1000x.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

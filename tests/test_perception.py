@@ -1,0 +1,203 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddmr_navigation_tpu.perception import (
+    VoxelSpec, world_to_cell, window_origin_for, scroll_grid,
+    RangeImageSpec, build_range_image, label_components, cluster_table,
+    build_map_context, distance_to_ground, near_static,
+    MarkingParams, init_marking_state, perception_update, mark_scan,
+    clear_marked, update_dgraph)
+from dddmr_navigation_tpu.io import flat_ground_map
+from dddmr_navigation_tpu.io.maps import box_obstacle
+from dddmr_navigation_tpu.geometry import quat_identity
+
+
+SPEC = VoxelSpec(nx=64, ny=64, nz=24, xy_resolution=0.1, height_resolution=0.1)
+RI = RangeImageSpec(rows=32, cols=360, elev_min_deg=-60.0, elev_max_deg=60.0)
+PARAMS = MarkingParams(
+    vertical_FOV_bottom=-60.0, vertical_FOV_top=60.0,
+    scan_effective_positive_start=0.0, scan_effective_positive_end=180.0,
+    scan_effective_negative_start=0.0, scan_effective_negative_end=-180.0,
+    max_marked_voxels=512, max_window_nodes=2048, max_clusters=16,
+)
+
+
+PUPDATE = jax.jit(perception_update, static_argnums=(0, 1, 2))
+
+
+def pad_scan(pts, n=2048):
+    pts = np.asarray(pts, np.float32)[:n]
+    out = np.zeros((n, 3), np.float32)
+    out[: len(pts)] = pts[:, :3]
+    mask = np.zeros((n,), bool)
+    mask[: len(pts)] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def map_ctx():
+    ground = flat_ground_map(10, 10, 0.25)
+    return build_map_context(ground)
+
+
+def test_world_to_cell_truncation():
+    spec = SPEC
+    pts = jnp.asarray([[0.26, -0.26, 0.04], [-0.04, 0.04, -0.26]])
+    cells = np.asarray(world_to_cell(spec, pts))
+    # reference: int(c/res) truncation toward zero
+    np.testing.assert_array_equal(cells[0], [2, -2, 0])
+    np.testing.assert_array_equal(cells[1], [0, 0, -2])
+
+
+def test_scroll_grid():
+    g = jnp.zeros((4, 4, 2), jnp.uint8).at[1, 1, 0].set(1)
+    origin = jnp.asarray([0, 0, 0])
+    new_origin = jnp.asarray([1, 0, 0])
+    out = np.asarray(scroll_grid(g, origin, new_origin))
+    assert out[0, 1, 0] == 1 and out.sum() == 1
+    # scrolling far drops content
+    out2 = np.asarray(scroll_grid(g, origin, jnp.asarray([10, 0, 0])))
+    assert out2.sum() == 0
+
+
+def test_label_components_two_blobs():
+    occ = jnp.zeros((16, 16, 4), bool)
+    occ = occ.at[1:3, 1:3, 1].set(True)
+    occ = occ.at[10:13, 10:12, 1].set(True)
+    labels = label_components(occ, tol_cells=1, num_iters=8)
+    l = np.asarray(labels)
+    blob1 = set(l[1:3, 1:3, 1].ravel().tolist())
+    blob2 = set(l[10:13, 10:12, 1].ravel().tolist())
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+    assert l[0, 0, 0] == -1
+
+
+def test_cluster_table_centroids():
+    occ = jnp.zeros((8, 8, 2), bool).at[2:4, 2:4, 0].set(True)
+    labels = label_components(occ, 1, 8)
+    pos = jnp.stack(jnp.meshgrid(
+        jnp.arange(8.0), jnp.arange(8.0), jnp.arange(2.0), indexing="ij"), -1)
+    cents, sizes, idx = cluster_table(labels, occ, pos, max_clusters=4)
+    sizes = np.asarray(sizes)
+    assert sizes.sum() == 4
+    c = np.asarray(cents)[sizes > 0][0]
+    np.testing.assert_allclose(c, [2.5, 2.5, 0.0], atol=1e-5)
+
+
+def test_map_context_lookups(map_ctx):
+    d = np.asarray(distance_to_ground(map_ctx, jnp.asarray([[0.0, 0.0, 0.5]])))
+    np.testing.assert_allclose(d, [0.5], atol=0.05)
+    # static grid is a far-away sentinel -> nothing near
+    assert not bool(near_static(map_ctx, jnp.asarray([[0.0, 0.0, 0.0]]), 0.1)[0])
+
+
+def _mark_obstacle(map_ctx, center=(1.5, 0.0, 0.0)):
+    state = init_marking_state(SPEC, PARAMS, map_ctx.ground.shape[0])
+    robot_pos = jnp.asarray([0.0, 0.0, 0.0])
+    q = quat_identity()
+    sensor_pos = jnp.asarray([0.0, 0.0, 0.5])
+    obs = box_obstacle(center, size=(0.3, 0.3, 0.8), resolution=0.1)
+    # keep obstacle points off the ground plane (cluster centroid test is
+    # centroid-based; raise base so centroid isn't ground-attached)
+    obs[:, 2] += 0.2
+    scan, mask = pad_scan(obs)
+    state = PUPDATE(SPEC, RI, PARAMS, state, map_ctx, scan, mask,
+                              robot_pos, q, sensor_pos, q)
+    return state, robot_pos, q, sensor_pos
+
+
+def test_mark_and_dgraph(map_ctx):
+    state, *_ = _mark_obstacle(map_ctx)
+    assert int(np.asarray(state.grid).sum()) > 0
+    ground = np.asarray(map_ctx.ground)
+    dg = np.asarray(state.dgraph)
+    # node right under the obstacle center -> lethal distance
+    i_near = np.argmin(np.linalg.norm(ground[:, :2] - [1.5, 0.0], axis=1))
+    assert dg[i_near] < PARAMS.inscribed_radius
+    # node ~1.2 m from the obstacle edge: value ≈ XY clearance
+    i_mid = np.argmin(np.linalg.norm(ground[:, :2] - [2.9, 0.0], axis=1))
+    assert 0.8 < dg[i_mid] < 1.45
+    # distant node untouched
+    i_far = np.argmin(np.linalg.norm(ground[:, :2] - [-4.0, -4.0], axis=1))
+    assert dg[i_far] == PARAMS.max_obstacle_distance
+
+
+def test_clear_when_seen_through(map_ctx):
+    state, robot_pos, q, sensor_pos = _mark_obstacle(map_ctx)
+    assert int(np.asarray(state.grid).sum()) > 0
+    # new scan: wall far behind where the obstacle was -> rays pass through
+    wall = box_obstacle((5.0, 0.0, 0.0), size=(0.2, 3.0, 1.5), resolution=0.1)
+    wall[:, 2] += 0.2
+    scan, mask = pad_scan(wall)
+    state2 = PUPDATE(SPEC, RI, PARAMS, state, map_ctx, scan, mask,
+                               robot_pos, q, sensor_pos, q)
+    g_old = np.asarray(state.grid)
+    g_new = np.asarray(state2.grid)
+    # the old obstacle region must be (mostly) cleared; wall is now marked
+    old_region = g_old.copy()
+    still = (g_new.astype(bool) & old_region.astype(bool)).sum()
+    assert still <= 0.2 * old_region.sum()
+    # dgraph near old obstacle relaxed back up
+    ground = np.asarray(map_ctx.ground)
+    i_near = np.argmin(np.linalg.norm(ground[:, :2] - [1.5, 0.0], axis=1))
+    assert np.asarray(state2.dgraph)[i_near] > PARAMS.inscribed_radius
+
+
+def test_keep_when_reobserved(map_ctx):
+    state, robot_pos, q, sensor_pos = _mark_obstacle(map_ctx)
+    n0 = int(np.asarray(state.grid).sum())
+    # identical second scan: everything re-observed, marks persist
+    obs = box_obstacle((1.5, 0.0, 0.0), size=(0.3, 0.3, 0.8), resolution=0.1)
+    obs[:, 2] += 0.2
+    scan, mask = pad_scan(obs)
+    state2 = PUPDATE(SPEC, RI, PARAMS, state, map_ctx, scan, mask,
+                               robot_pos, q, sensor_pos, q)
+    n1 = int(np.asarray(state2.grid).sum())
+    assert n1 >= 0.8 * n0
+
+
+def test_keep_when_occluded(map_ctx):
+    state, robot_pos, q, sensor_pos = _mark_obstacle(map_ctx, center=(2.5, 0.0, 0.0))
+    n0 = int(np.asarray(state.grid).sum())
+    # new scan: wall *in front of* the old obstacle -> rays blocked -> keep
+    wall = box_obstacle((1.0, 0.0, 0.0), size=(0.2, 3.0, 1.5), resolution=0.05)
+    wall[:, 2] += 0.2
+    scan, mask = pad_scan(wall, 4096)
+    state2 = PUPDATE(SPEC, RI, PARAMS, state, map_ctx, scan, mask,
+                               robot_pos, q, sensor_pos, q)
+    g_new = np.asarray(state2.grid)
+    g_old = np.asarray(state.grid)
+    kept = (g_new.astype(bool) & g_old.astype(bool)).sum()
+    assert kept >= 0.8 * n0
+
+
+def test_ground_attached_cluster_rejected(map_ctx):
+    state = init_marking_state(SPEC, PARAMS, map_ctx.ground.shape[0])
+    robot_pos = jnp.asarray([0.0, 0.0, 0.0])
+    q = quat_identity()
+    sensor_pos = jnp.asarray([0.0, 0.0, 0.5])
+    # flat patch on the ground: centroid z≈0.0 -> ground-attached -> rejected
+    pts = np.stack(np.meshgrid(np.arange(1.0, 1.4, 0.1),
+                               np.arange(-0.2, 0.2, 0.1), [0.01]), -1).reshape(-1, 3)
+    scan, mask = pad_scan(pts)
+    state2 = PUPDATE(SPEC, RI, PARAMS, state, map_ctx, scan, mask,
+                               robot_pos, q, sensor_pos, q)
+    assert int(np.asarray(state2.grid).sum()) == 0
+
+
+def test_static_cluster_rejected():
+    ground = flat_ground_map(10, 10, 0.25)
+    wall = box_obstacle((2.0, 0.0, 0.0), size=(0.2, 2.0, 1.5), resolution=0.1)
+    ctx = build_map_context(ground, wall)
+    params = PARAMS._replace(segmentation_ignore_ratio=0.5)
+    state = init_marking_state(SPEC, params, ctx.ground.shape[0])
+    robot_pos = jnp.asarray([0.0, 0.0, 0.0])
+    q = quat_identity()
+    sensor_pos = jnp.asarray([0.0, 0.0, 0.5])
+    # scan of the wall itself: matches static map -> rejected
+    scan, mask = pad_scan(wall + np.array([0.0, 0.0, 0.0], np.float32))
+    state2 = PUPDATE(SPEC, RI, params, state, ctx, scan, mask,
+                               robot_pos, q, sensor_pos, q)
+    assert int(np.asarray(state2.grid).sum()) == 0
