@@ -222,14 +222,18 @@ def update_dgraph(spec: VoxelSpec, params: MarkingParams, grid, origin,
     # Pairwise (n, k): 3D gate on projected points, XY distance value.
     # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b keeps the (n,k) matrix as the only
     # large intermediate and routes the cross term through the MXU.
+    # Inputs are recentered on the robot first: at global coordinates of
+    # O(100 m) the cancellation otherwise costs centimeters of accuracy.
     def sq_dists(a, b):
         a2 = jnp.sum(a * a, axis=-1)
         b2 = jnp.sum(b * b, axis=-1)
         cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
         return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * cross, 0.0)
 
-    d3sq = sq_dists(nodes, mproj)
-    dxy = jnp.sqrt(sq_dists(nodes[:, :2], mproj[:, :2]))
+    nodes_c = nodes - robot_pos
+    mproj_c = mproj - robot_pos
+    d3sq = sq_dists(nodes_c, mproj_c)
+    dxy = jnp.sqrt(sq_dists(nodes_c[:, :2], mproj_c[:, :2]))
     use = mark_valid[None, :] & (d3sq <= params.inflation_radius ** 2)
     dxy = jnp.where(use, dxy, params.max_obstacle_distance)
     node_d = jnp.min(dxy, axis=1)
