@@ -147,6 +147,12 @@ class LocalPlannerConfig:
     max_plan_len: int = 512       # padded global-plan pose count
     max_prune_len: int = 128      # padded prune-plan pose count
     max_obstacle_points: int = 2048  # padded aggregated-observation size
+    # collision critic obstacle chunk: bounds the (B,S,N,3,chunk)
+    # intermediate; lower it for large robot batches / sample grids
+    collision_obstacle_chunk: int = 256
+    # nearest-K obstacle pre-prune for the collision critic (0 = off);
+    # exact whenever ≤ K obstacles lie within the rollout sweep's reach
+    collision_near_k: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,124 @@
+"""Global planner: goal snapping, wavefront solve, path-to-poses.
+
+Mirrors `GlobalPlanner::makeROSPlan` (`global_planner.cpp:512-544`) +
+`getStartGoalID` (`:393-473`) + `getROSPath` (`:313-391`), and the
+DWA look-ahead splicing of `dynamic_window_aware_global_planner.cpp`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dddmr_navigation_tpu.config import GlobalPlannerConfig
+from dddmr_navigation_tpu.geometry import slope_aware_quat
+from dddmr_navigation_tpu.planning.global_.graph import GroundGraph
+from dddmr_navigation_tpu.planning.global_.wavefront import (
+    node_costs, wavefront_distances, extract_path)
+
+
+class GlobalPathResult(NamedTuple):
+    node_ids: jnp.ndarray   # (max_path_len,) int32
+    node_valid: jnp.ndarray # (max_path_len,) bool
+    length: jnp.ndarray     # () int32
+    ok: jnp.ndarray         # () bool
+    dist_to_goal: jnp.ndarray  # (G,) the reusable distance field
+
+
+def snap_to_ground(ground, ground_valid, pos, radius: float = 0.5):
+    """Nearest ground node within ``radius`` (`getStartGoalID` semantics).
+    Returns (index, ok)."""
+    d = jnp.linalg.norm(ground - pos, axis=-1)
+    d = jnp.where(ground_valid, d, jnp.inf)
+    i = jnp.argmin(d)
+    return i, d[i] <= radius
+
+
+def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
+                  ground, ground_valid, dgraph, node_weight, avg_intensity,
+                  start_pos, goal_pos, *, inscribed_radius: float,
+                  inflation_descending_rate: float) -> GlobalPathResult:
+    """Full jittable plan: snap → relax → extract. Reusable distance field
+    comes back for DWA look-ahead replanning."""
+    start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
+    goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
+
+    enter = node_costs(dgraph, node_weight,
+                       inscribed_radius=inscribed_radius,
+                       inflation_descending_rate=inflation_descending_rate)
+    wf = wavefront_distances(graph_idx, graph_dist, graph_valid, enter,
+                             avg_intensity, goal_idx,
+                             max_iters=cfg.max_relax_iters)
+    ids, valid, length, p_ok = extract_path(
+        graph_idx, graph_dist, graph_valid, enter, wf.dist, start_idx,
+        goal_idx, max_len=cfg.max_path_len,
+        turning_weight=cfg.turning_weight, positions=ground)
+    ok = s_ok & g_ok & p_ok
+    return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
+                            length=jnp.where(ok, length, 0), ok=ok,
+                            dist_to_goal=wf.dist)
+
+
+def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,
+                  result: GlobalPathResult):
+    """`getROSPath` (`global_planner.cpp:313-391`): node path → pose list
+    with slope-aware orientations and per-segment interpolation at 0.05
+    fractional steps emitted every ≥0.1 m. Host-side (replan-rate work).
+
+    Returns (positions (M,3) f32, quats (M,4) f32).
+    """
+    ids = np.asarray(result.node_ids)[np.asarray(result.node_valid)]
+    ground = np.asarray(ground)
+    if len(ids) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.float32)
+    pts = ground[ids]
+    positions, quats = [], []
+    for i in range(len(pts)):
+        p = pts[i]
+        nxt = pts[i + 1] if i < len(pts) - 1 else pts[i]
+        v = nxt - p
+        q = np.asarray(slope_aware_quat(jnp.asarray(v[None], jnp.float32)))[0]
+        if i < len(pts) - 1:
+            positions.append(p)
+            quats.append(q)
+            last = p
+            for step in np.arange(0.05, 0.99, 0.05):
+                cand = p + v * step
+                if np.linalg.norm(cand - last) > 0.1:
+                    positions.append(cand)
+                    quats.append(q)
+                    last = cand
+        else:
+            positions.append(p)
+            quats.append(q)
+    return (np.asarray(positions, np.float32), np.asarray(quats, np.float32))
+
+
+def dwa_local_goal(dist_to_goal, ground, plan_positions, robot_pos,
+                   look_ahead_distance: float, dgraph, inscribed_radius: float):
+    """`DWA_GlobalPlanner::determineDWAPlan` look-ahead goal selection
+    (`dynamic_window_aware_global_planner.cpp:192-288`): nearest plan pose
+    to the robot, walk ``look_ahead_distance`` along the plan (+1 m while
+    the tentative local goal is lethal per dGraph). Host/jnp hybrid —
+    returns (local_goal_index_into_plan, splice_index)."""
+    d = jnp.linalg.norm(plan_positions - robot_pos, axis=-1)
+    i0 = jnp.argmin(d)
+    seg = jnp.linalg.norm(jnp.diff(plan_positions, axis=0), axis=-1)
+    cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+    target = cum[i0] + look_ahead_distance
+    # nearest ground node to each candidate pose decides blockedness
+    def blocked(pidx):
+        gi, _ = snap_to_ground(ground, jnp.ones(ground.shape[0], bool),
+                               plan_positions[pidx])
+        return dgraph[gi] < inscribed_radius
+
+    # walk forward in +1 m increments while blocked (bounded unroll of 5)
+    idx = jnp.searchsorted(cum, target)
+    for _ in range(5):
+        idx = jnp.where(blocked(jnp.minimum(idx, plan_positions.shape[0] - 1)),
+                        jnp.searchsorted(cum, cum[jnp.minimum(
+                            idx, plan_positions.shape[0] - 1)] + 1.0), idx)
+    idx = jnp.minimum(idx, plan_positions.shape[0] - 1)
+    return idx, i0

@@ -47,7 +47,8 @@ def _masked_sq_dists(a, a_mask, b, b_mask, big=1e12):
     return jnp.where(ok, d, big)
 
 
-def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid):
+def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid,
+                     obstacle_chunk: int = 256, near_k: int = 0):
     """`CollisionModel::scoreTrajectory` (`collision_model.cpp:51-148`):
     -1 when any observed point falls inside the oriented footprint cuboid
     at any valid rollout step; 0 otherwise; 0 when fewer than 5 points.
@@ -57,6 +58,19 @@ def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid):
     The reference pre-gates with a 1 m radius search — redundant when the
     cuboid half-diagonal is under 1 m, so we run the box test directly.
     """
+    enough = jnp.sum(obs_valid) >= 5
+
+    if near_k and near_k < obstacles.shape[0]:
+        # Keep only the nearest K obstacles to the robot: the rollout sweep
+        # reaches at most max_vel*sim_time + footprint circumradius, so
+        # distant points cannot enter the box test. Ranking by distance
+        # keeps this exact whenever ≤ K points are within reach.
+        d2r = jnp.sum((obstacles - r.robot_pos) ** 2, axis=-1)
+        d2r = jnp.where(obs_valid, d2r, jnp.inf)
+        _, sel = jax.lax.top_k(-d2r, near_k)
+        obstacles = obstacles[sel]
+        obs_valid = obs_valid[sel]
+
     corners = jnp.asarray(cuboid.corners(), jnp.float32)       # (8,3) base frame
     center_l = jnp.mean(corners, axis=0)
     dx = corners[3] - corners[0]
@@ -87,7 +101,7 @@ def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid):
     # bounded regardless of sample count.
     proj_c = jnp.einsum("snak,snk->sna", axes_g, center_g)       # (S,N,3)
     k_total = obstacles.shape[0]
-    chunk = min(256, k_total)
+    chunk = min(obstacle_chunk, k_total)
     n_chunks = -(-k_total // chunk)
     pad = n_chunks * chunk - k_total
     obs_p = jnp.pad(obstacles - r.robot_pos, ((0, pad), (0, 0)))
@@ -107,7 +121,6 @@ def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid):
     hit0 = jnp.zeros(r.valid.shape, bool)
     hit, _ = jax.lax.scan(body, hit0, (obs_p, obs_m))
 
-    enough = jnp.sum(obs_valid) >= 5
     return jnp.where(enough & hit, -1.0, 0.0)
 
 
@@ -184,7 +197,8 @@ def twirling_scores(r: Rollouts, weight: float):
 
 def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
                    plan: PrunePlan, obstacles, obs_valid,
-                   heading_deviation=0.0):
+                   heading_deviation=0.0, obstacle_chunk: int = 256,
+                   collision_near_k: int = 0):
     """Run the configured critic stack; returns (costs, rejected).
 
     ``costs`` is the summed score for accepted rollouts; rejected rollouts
@@ -203,7 +217,9 @@ def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
         total = total + jnp.where(is_neg, 0.0, score)
 
     if critics.collision is not None:
-        apply(collision_scores(r, cuboid, obstacles, obs_valid)
+        apply(collision_scores(r, cuboid, obstacles, obs_valid,
+                               obstacle_chunk=obstacle_chunk,
+                               near_k=collision_near_k)
               * critics.collision.weight)
     if critics.stick_path is not None:
         apply(stick_path_scores(r, plan, 1.0) * critics.stick_path.weight)

@@ -100,14 +100,21 @@ def prune_plan(cfg: LocalPlannerConfig, plan: GlobalPlan, robot_pos,
     start = jnp.argmax(include)  # first included index
     count = jnp.sum(include)
 
-    gather = jnp.clip(start + jnp.arange(P), 0, L - 1)
+    # The window is contiguous — dynamic_slice (fast sequential DMA)
+    # instead of a (P,)-index gather (slow TPU gather path). Arrays are
+    # padded by P rows so a window starting near the end never clamps
+    # (clamping would misalign slot 0, which critics index by count).
+    start = start.astype(jnp.int32)
+    pos_p = jnp.pad(plan.positions, ((0, P), (0, 0)))
+    quat_p = jnp.pad(plan.quats, ((0, P), (0, 0)))
+    positions = jax.lax.dynamic_slice(pos_p, (start, 0), (P, 3))
+    quats = jax.lax.dynamic_slice(quat_p, (start, 0), (P, 4))
+    window_idx = start + jnp.arange(P)
     valid = jnp.arange(P) < jnp.minimum(count, P)
-    positions = plan.positions[gather]
-    quats = plan.quats[gather]
     # intensity: -1 backward poses; forward +1, except global index 0 → 0
     # (`local_planner.cpp:404-431`).
-    intensity = jnp.where(gather < i0, -1.0,
-                          jnp.where(gather == 0, 0.0, 1.0))
+    intensity = jnp.where(window_idx < i0, -1.0,
+                          jnp.where(window_idx == 0, 0.0, 1.0))
     pp = PrunePlan(positions=positions, quats=quats,
                    intensity=jnp.where(valid, intensity, 0.0),
                    valid=valid, count=jnp.minimum(count, P))
@@ -225,7 +232,9 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
 
     costs, rejected = score_rollouts(
         critics, cuboid, r, pp, obstacles, obs_valid,
-        heading_deviation=jnp.asarray(heading_deviation, jnp.float32))
+        heading_deviation=jnp.asarray(heading_deviation, jnp.float32),
+        obstacle_chunk=cfg.collision_obstacle_chunk,
+        collision_near_k=cfg.collision_near_k)
     idx, cost, found = best_trajectory(costs, rejected)
 
     vx = jnp.where(found, r.samples[idx, 0], 0.0)

@@ -80,17 +80,17 @@ def rollout(samples, sample_valid, robot_pos, robot_quat, *,
 
     dt = T / jnp.maximum(num_steps, 1).astype(jnp.float32)
 
-    def step(carry, _):
-        x, y, th = carry
-        nx = x + vx * jnp.cos(th) * dt
-        ny = y + vx * jnp.sin(th) * dt
-        nth = th + w * dt
-        return (nx, ny, nth), (nx, ny, nth)
-
-    init = (jnp.zeros_like(vx), jnp.zeros_like(vx), jnp.zeros_like(vx))
-    _, (xs, ys, ths) = lax.scan(step, init, None, length=max_steps)
-    # (N, S) -> (S, N)
-    xs, ys, ths = xs.T, ys.T, ths.T
+    # Closed-form Euler: the reference's update uses the *previous* heading
+    # (`computeNewPositions`, `dd_simple_...cpp:457-464`), so
+    #   θ_k = k·ω·dt  and  x_k = v·dt·Σ_{j<k} cos(θ_j)
+    # — a cumsum instead of a sequential scan (O(log N) depth on TPU; the
+    # tree-reduction rounding differs from serial accumulation only at the
+    # f32 ulp level).
+    j = jnp.arange(max_steps, dtype=jnp.float32)            # θ before step k
+    th_pre = j[None, :] * (w * dt)[:, None]                  # (S, N)
+    xs = (vx * dt)[:, None] * jnp.cumsum(jnp.cos(th_pre), axis=1)
+    ys = (vx * dt)[:, None] * jnp.cumsum(jnp.sin(th_pre), axis=1)
+    ths = (j[None, :] + 1.0) * (w * dt)[:, None]             # θ after step k
 
     local = jnp.stack([xs, ys, jnp.zeros_like(xs)], axis=-1)  # (S, N, 3)
     positions = quat_rotate(robot_quat[None, None, :], local) + robot_pos
@@ -109,15 +109,24 @@ def end_indices(r: Rollouts):
     return jnp.clip(r.num_steps - 1, 0, r.positions.shape[1] - 1)
 
 
+def _end_onehot(r: Rollouts):
+    # One-hot select instead of take_along_axis: per-row gathers along a
+    # middle axis lower to pathologically slow TPU gathers (~5 ms at 18k
+    # rollouts); the masked reduction is a fused VPU pass.
+    n = r.positions.shape[1]
+    idx = jnp.arange(n)
+    return (idx[None, :] == end_indices(r)[:, None]).astype(jnp.float32)
+
+
 def end_positions(r: Rollouts):
-    i = end_indices(r)
-    return jnp.take_along_axis(r.positions, i[:, None, None], axis=1)[:, 0]
+    oh = _end_onehot(r)
+    return jnp.einsum("sn,snk->sk", oh, r.positions,
+                      preferred_element_type=jnp.float32)
 
 
 def end_quats(r: Rollouts):
     """Global orientation at the last step: robot_quat ∘ Rz(θ_end)."""
-    i = end_indices(r)
-    th_end = jnp.take_along_axis(r.theta, i[:, None], axis=1)[:, 0]
+    th_end = jnp.sum(_end_onehot(r) * r.theta, axis=1)
     return quat_multiply(r.robot_quat[None, :], quat_from_yaw(th_end))
 
 

@@ -56,7 +56,7 @@ def main():
     obstacles = jnp.asarray(obstacles)
     obs_mask = jnp.asarray(obs_mask)
 
-    tick = jax.jit(compute_velocity_command, static_argnums=(0, 9))
+    tick = jax.jit(compute_velocity_command, static_argnums=(0, 10))
 
     pos = jnp.asarray([0.0, 0.0, 0.0])
     quat = quat_from_yaw(jnp.float32(0.0))

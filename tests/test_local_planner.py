@@ -154,7 +154,7 @@ def test_prune_plan_deviation_fails():
 # full tick parity
 # ---------------------------------------------------------------------------
 
-TICK = jax.jit(compute_velocity_command, static_argnums=(0, 9))
+TICK = jax.jit(compute_velocity_command, static_argnums=(0, 10))
 
 
 def run_both(robot_pos, robot_quat, v, w, obstacles, plan_pts=None):
