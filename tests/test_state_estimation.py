@@ -1,0 +1,262 @@
+"""State-estimation tests: particle filter semantics vs the reference's
+pf.h behavior, measurement-model properties, MCL convergence on a
+synthetic world, pose-graph IO round-trip, odom_3d integration."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddmr_navigation_tpu.config import MCLConfig
+from dddmr_navigation_tpu.state_estimation import (
+    init_particles, predict_diff_drive, measure, resample, covariance,
+    expectation, build_distance_field, sample_distance, build_submap_context,
+    measure_all, init_mcl, mcl_update, relative_odom, motion_gate,
+    PoseGraph, write_pose_graph, read_pose_graph, stitch_submap,
+    init_odom3d, integrate_log)
+from dddmr_navigation_tpu.state_estimation.mcl import lpf_set, lpf_in
+from dddmr_navigation_tpu.geometry import quat_from_yaw, quat_from_rpy
+
+
+CFG = MCLConfig(num_particles=32, init_var_x=0.3, init_var_y=0.3,
+                init_var_z=0.05, init_var_roll=0.02, init_var_pitch=0.02,
+                init_var_yaw=0.15, match_ratio_thresh=0.0)
+IDQ = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+
+
+def test_measure_normalizes_and_restores_on_death():
+    key = jax.random.PRNGKey(0)
+    p = init_particles(key, CFG, jnp.zeros(3), IDQ)
+    like = jnp.arange(1, 33, dtype=jnp.float32)
+    p2 = measure(p, like)
+    assert np.isclose(float(jnp.sum(p2.prob)), 1.0, atol=1e-5)
+    assert float(p2.prob[-1]) > float(p2.prob[0])
+    # all-zero likelihood keeps the prior (pf.h:261-268)
+    p3 = measure(p2, jnp.zeros(32))
+    np.testing.assert_allclose(np.asarray(p3.prob), np.asarray(p2.prob))
+
+
+def test_resample_concentrates_on_high_weight():
+    key = jax.random.PRNGKey(1)
+    p = init_particles(key, CFG, jnp.zeros(3), IDQ)
+    # particle 7 carries almost all weight
+    prob = jnp.full((32,), 1e-4).at[7].set(1.0)
+    p = p._replace(prob=prob / jnp.sum(prob))
+    p2 = resample(jax.random.PRNGKey(2), p, CFG)
+    d = np.linalg.norm(np.asarray(p2.pos) - np.asarray(p.pos[7]), axis=1)
+    # nearly all survivors cluster near the heavy particle (copies get
+    # only resample_var noise ~0.2)
+    assert np.mean(d < 1.5) > 0.9
+    assert np.isclose(float(jnp.sum(p2.prob)), 1.0, atol=1e-5)
+
+
+def test_motion_model_matches_numpy_oracle():
+    key = jax.random.PRNGKey(3)
+    p = init_particles(key, CFG, jnp.zeros(3), IDQ)
+    p = p._replace(noise_ll=jnp.full((32,), 0.1),
+                   noise_al=jnp.full((32,), 0.05),
+                   noise_la=jnp.full((32,), 0.02),
+                   noise_aa=jnp.full((32,), 0.03))
+    rel_trans = jnp.asarray([0.5, 0.0, 0.0])
+    rel_quat = quat_from_yaw(jnp.asarray(0.2))
+    p2 = predict_diff_drive(p, rel_trans, rel_quat, 0.2, 0.1, CFG)
+    # oracle for particle 0 (motion_prediction_model_differential_drive.h)
+    pos0 = np.asarray(p.pos[0])
+    q0 = np.asarray(p.quat[0])
+    diff = np.array([0.5 * 1.1 + 0.05 * 0.2, 0.0, 0.0])
+
+    def rot(q, v):
+        u, w = q[:3], q[3]
+        return v + 2 * np.cross(u, np.cross(u, v) + w * v)
+
+    expect_pos = pos0 + rot(q0, diff)
+    np.testing.assert_allclose(np.asarray(p2.pos[0]), expect_pos, atol=1e-5)
+    # yaw noise: 0.02*|t| + 0.03*0.2 applied before relative rotation
+    integ = np.asarray(p2.odom_err_integ_lin[0])
+    np.testing.assert_allclose(
+        integ, (diff - np.array([0.5, 0, 0])) * (1 - 0.1 / CFG.odom_err_integ_lin_tc),
+        atol=1e-6)
+
+
+def test_lpf_matches_reference_recurrence():
+    """filter.h:54-94 FILTER_LPF: set() then a constant input stays fixed;
+    a step input converges monotonically toward the new value."""
+    f = lpf_set(2.0, jnp.asarray([1.0, 1.0, 1.0]))
+    f, out = lpf_in(2.0, f, jnp.asarray([1.0, 1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+    prev = 1.0
+    for _ in range(30):
+        f, out = lpf_in(2.0, f, jnp.asarray([2.0, 2.0, 2.0]))
+        assert float(out[0]) >= prev - 1e-6
+        prev = float(out[0])
+    assert abs(prev - 2.0) < 0.05
+
+
+def test_lpf_angle_wraps():
+    f = lpf_set(2.0, jnp.asarray([3.1, 0.0, 0.0]))
+    f, out = lpf_in(2.0, f, jnp.asarray([-3.1, 0.0, 0.0]), angle=True)
+    # -3.1 is re-expressed near 3.18, so the output stays near ±pi instead
+    # of swinging through 0
+    assert abs(float(out[0])) > 3.0
+
+
+def test_distance_field_accuracy():
+    pts = np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]], np.float32)
+    fld = build_distance_field(pts, res=0.1, pad=1.0)
+    q = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.5, 0.0], [2.0, 0.0, 0.4]])
+    d = np.asarray(sample_distance(fld, q))
+    np.testing.assert_allclose(d, [1.0, 0.5, 0.4], atol=0.12)
+
+
+def _synthetic_world():
+    """Ground plane + two walls; returns (map_pts, ground_pts)."""
+    gx, gy = np.meshgrid(np.linspace(-6, 6, 49), np.linspace(-6, 6, 49))
+    ground = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], 1)
+    wx = np.linspace(-6, 6, 61)
+    wz = np.linspace(0.2, 1.6, 8)
+    WX, WZ = np.meshgrid(wx, wz)
+    wall1 = np.stack([WX.ravel(), np.full(WX.size, 4.0), WZ.ravel()], 1)
+    wall2 = np.stack([np.full(WX.size, -4.0), WX.ravel(), WZ.ravel()], 1)
+    return np.concatenate([wall1, wall2]).astype(np.float32), \
+        ground.astype(np.float32)
+
+
+def _scan_features(map_pts, ground_pts, pos, yaw, n_flat=96, n_sharp=96,
+                   radius=5.0, rng=None):
+    """Simulated feature extraction: nearby map/ground points in base frame."""
+    rng = rng or np.random.default_rng(0)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    def take(pts, n):
+        d = np.linalg.norm(pts[:, :2] - pos[None, :2], axis=1)
+        cand = pts[d < radius]
+        idx = rng.choice(len(cand), size=min(n, len(cand)), replace=False)
+        sel = (cand[idx] - pos[None, :]) @ R  # world→base: R^T on the right
+        out = np.zeros((n, 3), np.float32)
+        m = np.zeros((n,), bool)
+        out[:len(sel)] = sel
+        m[:len(sel)] = True
+        return jnp.asarray(out), jnp.asarray(m)
+
+    flat, flat_m = take(ground_pts, n_flat)
+    sharp, sharp_m = take(map_pts, n_sharp)
+    return flat, flat_m, sharp, sharp_m
+
+
+@pytest.fixture(scope="module")
+def world_ctx():
+    map_pts, ground_pts = _synthetic_world()
+    ctx = build_submap_context(map_pts, ground_pts, CFG, res=0.2)
+    return map_pts, ground_pts, ctx
+
+
+def test_likelihood_prefers_true_pose(world_ctx):
+    map_pts, ground_pts, ctx = world_ctx
+    true_pos = np.array([0.0, 0.0, 0.0], np.float32)
+    flat, flat_m, sharp, sharp_m = _scan_features(map_pts, ground_pts,
+                                                  true_pos, 0.0)
+    w = jnp.ones(sharp.shape[0])
+    cand_pos = jnp.asarray([[0, 0, 0], [1.0, 1.0, 0], [2.0, -1.0, 0.3]],
+                           jnp.float32)
+    cand_quat = jnp.broadcast_to(IDQ, (3, 4))
+    like, ratio = measure_all(ctx, CFG, flat, flat_m, sharp, sharp_m, w,
+                              cand_pos, cand_quat)
+    like = np.asarray(like)
+    assert like[0] > like[1] > like[2]
+    assert float(ratio[0]) > 0.9
+
+
+def test_mcl_converges_on_synthetic_trajectory(world_ctx):
+    map_pts, ground_pts, ctx = world_ctx
+    rng = np.random.default_rng(7)
+    state = init_mcl(jax.random.PRNGKey(0), CFG,
+                     jnp.asarray([0.2, -0.2, 0.0]), IDQ)
+
+    step_fn = jax.jit(functools.partial(mcl_update, CFG))
+
+    # true trajectory: drive +x then arc; odometry = truth + small bias
+    pos = np.zeros(3, np.float32)
+    yaw = 0.0
+    opos_prev, oyaw_prev = pos.copy(), yaw
+    errs = []
+    for t in range(14):
+        v, w = 0.4, 0.15
+        yaw += w * 0.25
+        pos = pos + np.array([v * np.cos(yaw), v * np.sin(yaw), 0.0],
+                             np.float32) * 0.25
+        # odometry with slight noise (keeps same frame: world == odom here)
+        opos = pos + rng.normal(0, 0.01, 3).astype(np.float32)
+        oyaw = yaw + rng.normal(0, 0.005)
+        flat, flat_m, sharp, sharp_m = _scan_features(
+            map_pts, ground_pts, pos, yaw, rng=np.random.default_rng(t))
+        state, out = step_fn(
+            ctx, state,
+            jnp.asarray(opos_prev), quat_from_yaw(jnp.asarray(oyaw_prev)),
+            jnp.asarray(opos), quat_from_yaw(jnp.asarray(oyaw)),
+            jnp.asarray(0.25),
+            flat, flat_m, sharp, sharp_m, jnp.ones(sharp.shape[0]))
+        opos_prev, oyaw_prev = opos, oyaw
+        errs.append(float(np.linalg.norm(np.asarray(out.pose_pos)[:2]
+                                         - pos[:2])))
+    assert np.mean(errs[-4:]) < 0.45, errs
+    assert float(out.match_ratio_max) > 0.5
+
+
+def test_motion_gate():
+    q0 = quat_from_yaw(jnp.asarray(0.0))
+    assert not bool(motion_gate(CFG, jnp.zeros(3), q0,
+                                jnp.asarray([0.05, 0, 0]), q0))
+    assert bool(motion_gate(CFG, jnp.zeros(3), q0,
+                            jnp.asarray([0.2, 0, 0]), q0))
+    q1 = quat_from_yaw(jnp.asarray(0.3))
+    assert bool(motion_gate(CFG, jnp.zeros(3), q0, jnp.zeros(3), q1))
+
+
+def test_covariance_positive_semidefinite():
+    p = init_particles(jax.random.PRNGKey(5), CFG, jnp.zeros(3), IDQ)
+    cov = np.asarray(covariance(p))
+    assert cov.shape == (6, 6)
+    ev = np.linalg.eigvalsh(cov)
+    assert np.all(ev > -1e-6)
+    # x/y variance should reflect init_var ~0.3^2
+    assert 0.01 < cov[0, 0] < 0.5
+
+
+def test_pose_graph_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    poses = np.zeros((3, 8), np.float32)
+    poses[:, 0] = [0, 2, 4]
+    poses[:, 6] = [0, 0.3, 0.6]  # yaw
+    feats = [rng.normal(0, 1, (20, 3)).astype(np.float32) for _ in range(3)]
+    grounds = [rng.normal(0, 1, (15, 3)).astype(np.float32) for _ in range(3)]
+    g = PoseGraph(poses=poses, feature_clouds=feats, ground_clouds=grounds)
+    d = str(tmp_path / "pg")
+    write_pose_graph(d, g)
+    g2 = read_pose_graph(d)
+    np.testing.assert_allclose(g2.poses[:, :8], poses, atol=1e-5)
+    np.testing.assert_allclose(g2.feature_clouds[1][:, :3], feats[1],
+                               atol=1e-5)
+    m, gr = stitch_submap(g2, [0, 0, 0], radius=3.0)
+    assert len(m) == 40 and len(gr) == 30  # keyframes 0 and 1
+
+
+def test_odom3d_straight_line():
+    st = init_odom3d()
+    T = 20
+    v = jnp.full((T,), 1.0)
+    q = jnp.broadcast_to(IDQ, (T, 4))
+    dt = jnp.full((T,), 0.1)
+    st2, path = integrate_log(st, v, q, dt)
+    np.testing.assert_allclose(np.asarray(st2.pos), [2.0, 0.0, 0.0],
+                               atol=1e-5)
+
+
+def test_odom3d_pitch_climbs():
+    st = init_odom3d()
+    q = quat_from_rpy(jnp.asarray(0.0), jnp.asarray(-0.2), jnp.asarray(0.0))
+    T = 10
+    st2, _ = integrate_log(st, jnp.full((T,), 1.0),
+                           jnp.broadcast_to(q, (T, 4)), jnp.full((T,), 0.1))
+    assert float(st2.pos[2]) > 0.15  # sin(0.2) ≈ 0.199 per meter
