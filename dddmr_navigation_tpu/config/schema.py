@@ -289,6 +289,49 @@ class MCLConfig:
 
 
 @dataclass(frozen=True)
+class SlamConfig:
+    """Reference `lego_loam` params (canonical values:
+    `lego_loam_bor/config/loam_c16_config.yaml`)."""
+    # laser / projection (lego_loam_ip)
+    num_vertical_scans: int = 16
+    num_horizontal_scans: int = 1000
+    ground_scan_index: int = 7
+    vertical_angle_bottom: float = -15.0
+    vertical_angle_top: float = 15.0
+    scan_period: float = 0.1
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 2
+    segment_theta: float = 60.0          # degrees
+    maximum_detection_range: float = 120.0
+    distance_for_patch_between_rings: float = 1.0
+    sensor_mount_angle: float = 0.0
+    ground_angle_threshold: float = 10.0  # imageProjection.cpp ground test
+    # feature association (lego_loam_fa)
+    edge_threshold: float = 0.1
+    surf_threshold: float = 0.1
+    nearest_feature_search_distance: float = 3.0
+    # mapping (lego_loam_mo)
+    distance_between_key_frame: float = 1.0
+    angle_between_key_frame: float = 1.0
+    enable_loop_closure: bool = True
+    surrounding_keyframe_search_num: int = 10
+    history_keyframe_search_radius: float = 15.0
+    history_keyframe_search_num: int = 5
+    history_keyframe_fitness_score: float = 0.5
+    ground_voxel_size: float = 0.4
+    # TPU static shapes
+    max_sharp: int = 64          # 2/sector × 6 sectors × 16 rings = 192 cap
+    max_less_sharp: int = 512
+    max_flat: int = 256
+    max_less_flat: int = 2048
+    max_keyframes: int = 256
+    max_edges: int = 512
+    scan_match_iters: int = 12
+    icp_iters: int = 30
+    pose_graph_iters: int = 8
+
+
+@dataclass(frozen=True)
 class NavigationConfig:
     """Top-level config for one navigation vertical."""
     move_base: MoveBaseConfig = MoveBaseConfig()
@@ -297,6 +340,7 @@ class NavigationConfig:
     global_planner: GlobalPlannerConfig = GlobalPlannerConfig()
     dwa_global_planner: DWAGlobalPlannerConfig = DWAGlobalPlannerConfig()
     mcl: MCLConfig = MCLConfig()
+    slam: SlamConfig = SlamConfig()
 
 
 # ---------------------------------------------------------------------------
@@ -457,3 +501,50 @@ def load_yaml_config(path: str) -> NavigationConfig:
     return NavigationConfig(
         move_base=move_base, local_planner=local, perception=perception,
         global_planner=gplanner, dwa_global_planner=dwa_cfg, mcl=mcl_cfg)
+
+
+def load_slam_yaml(path: str) -> SlamConfig:
+    """Ingest a reference lego_loam config (e.g.
+    `lego_loam_bor/config/loam_c16_config.yaml`: `lego_loam_ip` /
+    `lego_loam_fa` / `lego_loam_mo` node sections)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    ip = _get(doc, "lego_loam_ip", "ros__parameters", default={}) or {}
+    fa = _get(doc, "lego_loam_fa", "ros__parameters", default={}) or {}
+    mo = _get(doc, "lego_loam_mo", "ros__parameters", default={}) or {}
+
+    kw = {}
+    laser = ip.get("laser", {}) or {}
+    for k in ("num_vertical_scans", "num_horizontal_scans",
+              "ground_scan_index", "vertical_angle_bottom",
+              "vertical_angle_top", "scan_period"):
+        if k in laser:
+            kw[k] = laser[k]
+    proj = ip.get("imageProjection", {}) or {}
+    for k in ("segment_valid_point_num", "segment_valid_line_num",
+              "segment_theta", "maximum_detection_range",
+              "distance_for_patch_between_rings"):
+        if k in proj:
+            kw[k] = proj[k]
+    feat = fa.get("featureAssociation", {}) or {}
+    for k in ("edge_threshold", "surf_threshold",
+              "nearest_feature_search_distance"):
+        if k in feat:
+            kw[k] = feat[k]
+    mapping = mo.get("mapping", {}) or {}
+    for k in ("distance_between_key_frame", "angle_between_key_frame",
+              "enable_loop_closure", "surrounding_keyframe_search_num",
+              "history_keyframe_search_radius", "history_keyframe_search_num",
+              "history_keyframe_fitness_score", "ground_voxel_size"):
+        if k in mapping:
+            kw[k] = mapping[k]
+    for k in ("num_vertical_scans", "num_horizontal_scans",
+              "ground_scan_index", "segment_valid_point_num",
+              "segment_valid_line_num", "surrounding_keyframe_search_num",
+              "history_keyframe_search_num"):
+        if k in kw:
+            kw[k] = int(kw[k])
+    return SlamConfig(**kw)

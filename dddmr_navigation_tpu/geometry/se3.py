@@ -63,6 +63,17 @@ def quat_from_axis_angle(axis, angle):
     return jnp.concatenate([axis * jnp.sin(half), jnp.cos(half)], axis=-1)
 
 
+def quat_exp(w):
+    """Rotation-vector exponential → quaternion, smooth at ‖w‖ = 0 (safe
+    under jacfwd/jacrev at the origin — the GN solvers linearize there)."""
+    ang2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    ang = jnp.sqrt(ang2 + 1e-16)
+    half = 0.5 * ang
+    # sin(half)/ang is smooth; series fallback keeps the derivative exact
+    k = jnp.where(ang2 > 1e-12, jnp.sin(half) / ang, 0.5 - ang2 / 48.0)
+    return jnp.concatenate([w * k, jnp.cos(half)], axis=-1)
+
+
 def quat_from_rpy(roll, pitch, yaw):
     """tf2 setRPY: R_z(yaw) * R_y(pitch) * R_x(roll)."""
     hr, hp, hy = roll * 0.5, pitch * 0.5, yaw * 0.5

@@ -227,7 +227,10 @@ def update_dgraph(spec: VoxelSpec, params: MarkingParams, grid, origin,
     def sq_dists(a, b):
         a2 = jnp.sum(a * a, axis=-1)
         b2 = jnp.sum(b * b, axis=-1)
-        cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        # HIGHEST: the TPU MXU multiplies f32 as bf16 by default; the
+        # expansion cancellation needs full f32 cross terms.
+        cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * cross, 0.0)
 
     nodes_c = nodes - robot_pos

@@ -121,7 +121,8 @@ def _end_onehot(r: Rollouts):
 def end_positions(r: Rollouts):
     oh = _end_onehot(r)
     return jnp.einsum("sn,snk->sk", oh, r.positions,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def end_quats(r: Rollouts):

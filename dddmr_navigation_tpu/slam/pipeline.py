@@ -1,0 +1,186 @@
+"""Mapping session — the TPU re-design of lego_loam's node pipeline
+(`lego_loam_node.cpp:19-41`: ImageProjection ─Channel→ FeatureAssociation
+─Channel→ MapOptimization).
+
+The reference moves clouds between three threads through blocking
+channels; here the per-scan device work (projection → features →
+scan matching) is one jitted program and the host driver only sequences
+keyframes, loop closures, and pose-graph re-optimization (the
+inherently-sequential parts). Artifacts save in the reference's
+pose-graph directory format so `state_estimation.submaps` (and the
+reference's own mcl_3dl) can localize against them.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dddmr_navigation_tpu.config import SlamConfig
+from dddmr_navigation_tpu.geometry import (
+    quat_multiply, quat_conjugate, quat_normalize, quat_rotate,
+    rpy_from_quat)
+from dddmr_navigation_tpu.slam.projection import project
+from dddmr_navigation_tpu.slam.features import extract_features, FeatureSet
+from dddmr_navigation_tpu.slam.scan_matching import (
+    match_scans, icp_point2point)
+from dddmr_navigation_tpu.slam import pose_graph as pg
+from dddmr_navigation_tpu.state_estimation.submaps import (
+    PoseGraph, write_pose_graph)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _frontend(cfg: SlamConfig, points, mask) -> FeatureSet:
+    """Projection + feature extraction, one device program per scan."""
+    img = project(cfg, points, mask)
+    return extract_features(cfg, img)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _odometry(cfg: SlamConfig, feats: FeatureSet, ref: FeatureSet,
+              init_pos, init_quat):
+    """Scan-to-keyframe matching (the reference's scan-to-scan GN +
+    scan-to-map LM collapse into one matcher against the reference
+    keyframe's features — parity target is the pose output)."""
+    return match_scans(
+        cfg, feats.sharp, feats.sharp_mask, feats.flat, feats.flat_mask,
+        ref.less_sharp, ref.less_sharp_mask, ref.less_flat,
+        ref.less_flat_mask, init_pos=init_pos, init_quat=init_quat)
+
+
+@dataclass
+class MappingSession:
+    """Host-side SLAM driver (feed scans → keyframes → pose graph)."""
+    cfg: SlamConfig = field(default_factory=SlamConfig)
+    # pose of the latest scan w.r.t. map
+    cur_pos: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, np.float32))
+    cur_quat: np.ndarray = field(
+        default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    keyframe_feats: list = field(default_factory=list)   # FeatureSet per kf
+    n_keyframes: int = 0
+    n_edges: int = 0
+    graph: pg.PoseGraphArrays | None = None
+    loop_closures: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.graph = pg.empty_graph(self.cfg.max_keyframes,
+                                    self.cfg.max_edges)
+
+    # -- helpers ----------------------------------------------------------
+    def _kf_pose(self, i):
+        return (np.asarray(self.graph.pos[i]), np.asarray(self.graph.quat[i]))
+
+    def _rel(self, pi, qi, pj, qj):
+        qi_inv = quat_conjugate(jnp.asarray(qi))
+        rel_q = quat_normalize(quat_multiply(qi_inv, jnp.asarray(qj)))
+        rel_p = quat_rotate(qi_inv, jnp.asarray(pj) - jnp.asarray(pi))
+        return np.asarray(rel_p), np.asarray(rel_q)
+
+    # -- main entry ---------------------------------------------------------
+    def process_scan(self, points, mask):
+        """Feed one sweep (sensor frame). Returns the current map pose."""
+        feats = _frontend(self.cfg, jnp.asarray(points), jnp.asarray(mask))
+
+        if self.n_keyframes == 0:
+            self._add_keyframe(feats)
+            return self.cur_pos, self.cur_quat
+
+        ref_i = self.n_keyframes - 1
+        ref_pos, ref_quat = self._kf_pose(ref_i)
+        init_p, init_q = self._rel(ref_pos, ref_quat,
+                                   self.cur_pos, self.cur_quat)
+        rel_pos, rel_quat, _ = _odometry(
+            self.cfg, feats, self.keyframe_feats[ref_i],
+            jnp.asarray(init_p), jnp.asarray(init_q))
+        # compose: T_map_cur = T_map_kf · T_kf_cur
+        self.cur_quat = np.asarray(quat_normalize(
+            quat_multiply(jnp.asarray(ref_quat), rel_quat)))
+        self.cur_pos = ref_pos + np.asarray(
+            quat_rotate(jnp.asarray(ref_quat), rel_pos))
+
+        if self._keyframe_due(ref_pos, ref_quat):
+            self._add_keyframe(feats, parent=ref_i)
+            if self.cfg.enable_loop_closure:
+                self._try_loop_closure()
+        return self.cur_pos, self.cur_quat
+
+    def _keyframe_due(self, ref_pos, ref_quat):
+        """`saveKeyFramesAndFactor` gate: 1 m / 1 rad from last keyframe
+        (`distance_between_key_frame` / `angle_between_key_frame`)."""
+        d = float(np.linalg.norm(self.cur_pos - ref_pos))
+        qrel = quat_multiply(quat_conjugate(jnp.asarray(ref_quat)),
+                             jnp.asarray(self.cur_quat))
+        a = float(2.0 * np.arccos(np.clip(abs(float(qrel[3])), 0, 1)))
+        return (d > self.cfg.distance_between_key_frame
+                or a > self.cfg.angle_between_key_frame)
+
+    def _add_keyframe(self, feats, parent: int | None = None):
+        i = self.n_keyframes
+        assert i < self.cfg.max_keyframes, "max_keyframes exceeded"
+        self.graph = pg.add_node(self.graph, i, jnp.asarray(self.cur_pos),
+                                 jnp.asarray(self.cur_quat))
+        self.keyframe_feats.append(jax.device_get(feats))
+        self.n_keyframes += 1
+        if parent is not None:
+            pp, pq = self._kf_pose(parent)
+            rel_p, rel_q = self._rel(pp, pq, self.cur_pos, self.cur_quat)
+            self.graph = pg.add_edge(self.graph, self.n_edges, parent, i,
+                                     jnp.asarray(rel_p), jnp.asarray(rel_q),
+                                     weight=1.0)
+            self.n_edges += 1
+
+    def _try_loop_closure(self):
+        cur = self.n_keyframes - 1
+        cand, found = pg.detect_loop_candidate(
+            self.graph, cur, self.cfg.history_keyframe_search_radius,
+            min_index_gap=int(self.cfg.history_keyframe_search_radius))
+        if not bool(found):
+            return False
+        cand = int(cand)
+        # verify with ICP between the less-flat clouds in candidate frame
+        cf = self.keyframe_feats[cur]
+        hf = self.keyframe_feats[cand]
+        pp, pq = self._kf_pose(cand)
+        init_p, init_q = self._rel(pp, pq, self.cur_pos, self.cur_quat)
+        pos, quat, fitness = icp_point2point(
+            jnp.asarray(np.concatenate([cf.less_flat, cf.less_sharp])),
+            jnp.asarray(np.concatenate([cf.less_flat_mask,
+                                        cf.less_sharp_mask])),
+            jnp.asarray(np.concatenate([hf.less_flat, hf.less_sharp])),
+            jnp.asarray(np.concatenate([hf.less_flat_mask,
+                                        hf.less_sharp_mask])),
+            self.cfg.icp_iters, 2.0, jnp.asarray(init_p),
+            jnp.asarray(init_q))
+        if float(fitness) > self.cfg.history_keyframe_fitness_score:
+            return False
+        w = 1.0 / max(float(fitness), 1e-3)
+        self.graph = pg.add_edge(self.graph, self.n_edges, cand, cur,
+                                 pos, quat, weight=min(w, 100.0))
+        self.n_edges += 1
+        self.loop_closures.append((cand, cur, float(fitness)))
+        self.graph = pg.optimize_pose_graph(self.graph,
+                                            self.cfg.pose_graph_iters)
+        # correctPoses: current pose follows the corrected keyframe
+        self.cur_pos, self.cur_quat = self._kf_pose(cur)
+        return True
+
+    # -- artifacts ----------------------------------------------------------
+    def save(self, out_dir: str):
+        """Write the reference pose-graph directory format."""
+        k = self.n_keyframes
+        poses = np.zeros((k, 8), np.float32)
+        feats, grounds = [], []
+        for i in range(k):
+            p, q = self._kf_pose(i)
+            r, pch, y = (float(x) for x in rpy_from_quat(jnp.asarray(q)))
+            poses[i, :3] = p
+            poses[i, 4:7] = (r, pch, y)
+            f = self.keyframe_feats[i]
+            feats.append(np.asarray(f.less_sharp)[np.asarray(f.less_sharp_mask)])
+            grounds.append(np.asarray(f.less_flat)[np.asarray(f.less_flat_mask)])
+        write_pose_graph(out_dir, PoseGraph(
+            poses=poses, feature_clouds=feats, ground_clouds=grounds))

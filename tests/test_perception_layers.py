@@ -1,0 +1,163 @@
+"""Tests for the auxiliary perception components added after the core
+voxel engine: depth-camera frustum layer, static-layer node weights,
+semantic segmentation, occupancy→cloud conversion."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dddmr_navigation_tpu.perception.depth_camera import (
+    CameraModel, frustum_planes, in_frustum, depth_image_to_points,
+    optical_to_forward, DepthCameraObservation, clear_with_frustums,
+    mark_depth_points)
+from dddmr_navigation_tpu.perception.voxel import VoxelSpec
+from dddmr_navigation_tpu.perception.static_weights import (
+    compute_node_weights)
+from dddmr_navigation_tpu.config import StaticLayerConfig
+
+IDQ = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+CAM = CameraModel(h_fov=1.2, v_fov=0.9, min_detect_distance=0.3,
+                  max_detect_distance=3.0)
+
+
+def test_frustum_contains_axis_points():
+    normals, pts = frustum_planes(CAM, jnp.zeros(3), IDQ)
+    q = jnp.asarray([
+        [1.0, 0.0, 0.0],    # on axis, inside
+        [0.2, 0.0, 0.0],    # before near plane
+        [4.0, 0.0, 0.0],    # past far plane
+        [1.0, 0.9, 0.0],    # outside horizontal FOV (tan(0.6)≈0.68)
+        [1.0, 0.5, 0.0],    # inside horizontal FOV
+        [1.0, 0.0, 0.6],    # outside vertical FOV (tan(0.45)≈0.48)
+    ])
+    got = np.asarray(in_frustum(normals, pts, q))
+    np.testing.assert_array_equal(got, [True, False, False, False, True,
+                                        False])
+
+
+def test_frustum_rotated_camera():
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    q90 = quat_from_yaw(jnp.asarray(np.pi / 2))
+    normals, pts = frustum_planes(CAM, jnp.asarray([1.0, 0.0, 0.0]), q90)
+    # camera at (1,0,0) looking +y: (1, 1.5, 0) inside, (2.5, 0, 0) not
+    assert bool(in_frustum(normals, pts, jnp.asarray([1.0, 1.5, 0.0])))
+    assert not bool(in_frustum(normals, pts, jnp.asarray([2.5, 0.0, 0.0])))
+
+
+def test_depth_image_roundtrip():
+    fx = fy = 100.0
+    cx, cy = 32.0, 24.0
+    depth = jnp.full((48, 64), 2.0)
+    pts, mask = depth_image_to_points(depth, fx, fy, cx, cy)
+    assert bool(jnp.all(mask))
+    p = np.asarray(pts).reshape(48, 64, 3)
+    # center pixel on the optical axis
+    np.testing.assert_allclose(p[24, 32], [0.0, 0.0, 2.0], atol=0.05)
+    fwd = np.asarray(optical_to_forward(jnp.asarray(p[24, 32])))
+    np.testing.assert_allclose(fwd, [2.0, 0.0, 0.0], atol=0.05)
+
+
+def _obs_single(cam_pos, cam_quat, pts):
+    p = jnp.zeros((1, 256, 3), jnp.float32)
+    m = jnp.zeros((1, 256), bool)
+    p = p.at[0, :len(pts)].set(jnp.asarray(pts))
+    m = m.at[0, :len(pts)].set(True)
+    return DepthCameraObservation(
+        cam_pos=jnp.asarray(cam_pos)[None], cam_quat=cam_quat[None],
+        points=p, mask=m)
+
+
+def test_depth_camera_mark_and_clear():
+    spec = VoxelSpec(nx=32, ny=32, nz=16, xy_resolution=0.1,
+                     height_resolution=0.1)
+    origin = jnp.asarray([-16, -16, -8], jnp.int32)
+    grid = jnp.zeros((32, 32, 16), jnp.uint8)
+
+    # camera at origin looking +x; wall of depth points at x=1.5
+    ys, zs = np.meshgrid(np.linspace(-0.4, 0.4, 12),
+                         np.linspace(-0.3, 0.3, 8))
+    wall = np.stack([np.full(ys.size, 1.5), ys.ravel(), zs.ravel()], 1)
+    obs = _obs_single([0.0, 0.0, 0.0], IDQ, wall)
+
+    g1 = mark_depth_points(spec, grid, origin, obs, robot_z=-0.5,
+                           marking_height=2.0)
+    assert int(jnp.sum(g1)) > 20
+
+    # same wall: marked voxels at the wall are re-observed → kept
+    g2 = clear_with_frustums(spec, CAM, g1, origin, obs)
+    assert int(jnp.sum(g2)) > 0.8 * int(jnp.sum(g1))
+
+    # wall moves back to x=2.5: the x=1.5 voxels are seen-through → cleared
+    wall_far = wall.copy()
+    wall_far[:, 0] = 2.5
+    obs_far = _obs_single([0.0, 0.0, 0.0], IDQ, wall_far)
+    g3 = clear_with_frustums(spec, CAM, g1, origin, obs_far)
+    assert int(jnp.sum(g3)) < 0.2 * int(jnp.sum(g1))
+
+
+def test_static_weights_boundary_vs_interior():
+    # 10x10 m dense ground patch at 0.25 m: interior nodes well-supported,
+    # edge nodes punished
+    xs = np.arange(-5, 5.01, 0.25)
+    gx, gy = np.meshgrid(xs, xs)
+    ground = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], 1)
+    w, sd = compute_node_weights(ground, None, StaticLayerConfig())
+    center = np.argmin(np.linalg.norm(ground[:, :2], axis=1))
+    corner = np.argmin(np.linalg.norm(ground[:, :2] - [-5, -5], axis=1))
+    assert w[center] < 1.5
+    assert w[corner] > w[center] + 1.0
+    assert np.all(sd > 100)  # no overhangs
+
+
+def test_static_weights_overhang_lethal():
+    xs = np.arange(-2, 2.01, 0.25)
+    gx, gy = np.meshgrid(xs, xs)
+    ground = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], 1)
+    # dense overhang slab 0.5 m above the center
+    ox, oy = np.meshgrid(np.arange(-0.4, 0.41, 0.1),
+                         np.arange(-0.4, 0.41, 0.1))
+    over = np.stack([ox.ravel(), oy.ravel(), np.full(ox.size, 0.5)], 1)
+    w, sd = compute_node_weights(ground, over, StaticLayerConfig())
+    center = np.argmin(np.linalg.norm(ground[:, :2], axis=1))
+    far = np.argmin(np.linalg.norm(ground[:, :2] - [2, 2], axis=1))
+    assert sd[center] == 0.25      # lethal under the overhang
+    assert sd[far] > 100
+
+
+def test_semantic_segmentation_shapes():
+    from dddmr_navigation_tpu.perception.semantic import (
+        init_segmenter, infer_classes, segmentation_to_pointcloud)
+    model, params = init_segmenter(jax.random.PRNGKey(0), height=64,
+                                   width=96, num_classes=7, net_width=8)
+    rgb = jnp.ones((1, 64, 96, 3), jnp.float32)
+    cls = infer_classes(model, params, rgb)
+    assert cls.shape == (1, 64, 96)
+    assert 0 <= int(jnp.min(cls)) and int(jnp.max(cls)) < 7
+
+    depth = jnp.full((64, 96), 1.5)
+    cloud, valid = segmentation_to_pointcloud(
+        depth, cls[0], 80.0, 80.0, 48.0, 32.0, keep_classes=[int(cls[0, 0, 0])])
+    assert cloud.shape == (64 * 96, 4)
+    assert bool(jnp.any(valid))
+    kept = np.asarray(cloud)[np.asarray(valid)]
+    assert np.all(kept[:, 3] == float(cls[0, 0, 0]))
+
+
+def test_occupancy_to_clouds(tmp_path):
+    from dddmr_navigation_tpu.io.occupancy import (
+        occupancy_to_clouds, read_pgm)
+    img = np.full((20, 30), 254, np.uint8)   # free
+    img[:, 0] = 0                            # occupied left wall column
+    img[5, 10] = 0                           # a pillar
+    ground, wall = occupancy_to_clouds(img, resolution=0.1)
+    assert len(ground) == 20 * 30 - 21
+    assert len(wall) == 21 * 7               # 0..1.5 step 0.25 → 7 layers
+    # pillar world position: col 10 → x=1.05, row 5 → y=(20-1-5+0.5)*0.1
+    pillar = wall[np.isclose(wall[:, 0], 1.05)]
+    assert np.allclose(pillar[0, 1], 1.45, atol=1e-5)
+
+    # PGM round trip (P5)
+    p = tmp_path / "m.pgm"
+    with open(p, "wb") as f:
+        f.write(b"P5\n# c\n30 20\n255\n" + img.tobytes())
+    img2 = read_pgm(str(p))
+    np.testing.assert_array_equal(img2, img)

@@ -1,0 +1,196 @@
+"""SLAM tests: range-image projection properties, feature extraction,
+scan matching / ICP transform recovery, pose-graph optimization, and a
+small end-to-end mapping session on a synthetic box world."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddmr_navigation_tpu.config import SlamConfig
+from dddmr_navigation_tpu.slam import (
+    project, extract_features, match_scans, icp_point2point,
+    empty_graph, add_node, add_edge, optimize_pose_graph,
+    detect_loop_candidate, MappingSession)
+from dddmr_navigation_tpu.utils import BoxWorld, simulate_scan
+from dddmr_navigation_tpu.geometry import quat_from_yaw
+
+# Small image for fast compiles; same vertical geometry as the c16 config.
+CFG = SlamConfig(num_vertical_scans=16, num_horizontal_scans=250,
+                 max_sharp=64, max_less_sharp=256, max_flat=128,
+                 max_less_flat=1024, scan_match_iters=10,
+                 max_keyframes=32, max_edges=64)
+WORLD = BoxWorld.room(half=6.0).add_box([2.0, -1.0, 0], [2.6, 1.0, 1.8])
+
+
+def _scan(pos, yaw=0.0):
+    pts, mask = simulate_scan(WORLD, pos, yaw, n_rings=16, n_cols=250)
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def room_img():
+    pts, mask = _scan([0.0, 0.0, 0.8])
+    return jax.jit(lambda p, m: project(CFG, p, m))(pts, mask)
+
+
+def test_projection_shapes_and_ranges(room_img):
+    img = room_img
+    assert img.rng.shape == (16, 250)
+    v = np.asarray(img.valid)
+    r = np.asarray(img.rng)
+    assert v.sum() > 1000
+    # all valid ranges positive and under the room diagonal
+    assert np.all(r[v] > 0.3) and np.all(r[v] < 20.0)
+
+
+def test_ground_flagged_below_horizon(room_img):
+    img = room_img
+    g = np.asarray(img.ground)
+    # ground only on downward rings (below ground_scan_index)
+    assert g[: CFG.ground_scan_index].sum() > 200
+    assert g[CFG.ground_scan_index + 1:].sum() == 0
+    # ground points have low z (sensor at 0.8 → ground at −0.8); a couple
+    # of wall-base transition pixels may slip in (reference behavior too)
+    z = np.asarray(img.pts)[..., 2][g]
+    assert np.mean(z < -0.5) > 0.95
+
+
+def test_segment_mask_excludes_ground_keeps_walls(room_img):
+    img = room_img
+    seg = np.asarray(img.segment_mask)
+    g = np.asarray(img.ground)
+    assert not np.any(seg & g)
+    # walls are big segments: most non-ground valid pixels survive
+    nv = np.asarray(img.valid) & ~g
+    assert seg.sum() > 0.6 * nv.sum()
+
+
+def test_features_classes(room_img):
+    feats = jax.jit(lambda i: extract_features(CFG, i))(room_img)
+    n_sharp = int(jnp.sum(feats.sharp_mask))
+    n_flat = int(jnp.sum(feats.flat_mask))
+    n_lf = int(jnp.sum(feats.less_flat_mask))
+    assert n_sharp > 4            # pillar corners + room corners
+    assert n_flat > 20            # ground features
+    assert n_lf > 100
+    # flat features are on the ground plane
+    fz = np.asarray(feats.flat)[np.asarray(feats.flat_mask)][:, 2]
+    assert np.all(np.abs(fz + 0.8) < 0.15)
+
+
+def _features_at(pos, yaw=0.0):
+    pts, mask = _scan(pos, yaw)
+    img = project(CFG, pts, mask)
+    return extract_features(CFG, img)
+
+
+def test_scan_matching_recovers_motion():
+    f0 = _features_at([0.0, 0.0, 0.8], 0.0)
+    true_dx, true_dyaw = 0.4, 0.12
+    f1 = _features_at([true_dx, 0.0, 0.8], true_dyaw)
+    pos, quat, res = match_scans(
+        CFG, f1.sharp, f1.sharp_mask, f1.flat, f1.flat_mask,
+        f0.less_sharp, f0.less_sharp_mask, f0.less_flat, f0.less_flat_mask)
+    # transform maps scan-1 sensor points into scan-0 frame:
+    # x0 = R(dyaw)·x1 + t with t ≈ (dx, 0, 0)
+    yaw = 2.0 * np.arctan2(float(quat[2]), float(quat[3]))
+    assert abs(float(pos[0]) - true_dx) < 0.12, (pos, yaw)
+    assert abs(float(pos[1])) < 0.12
+    assert abs(yaw - true_dyaw) < 0.05
+
+
+def test_icp_recovers_offset():
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-3, 3, (256, 3)).astype(np.float32)
+    yaw = 0.15
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, -0.2, 0.1], np.float32)
+    # source = inverse-transformed target: aligning src→tgt recovers (R, t)
+    src = (tgt - t) @ R
+    m = jnp.ones((256,), bool)
+    pos, quat, fit = icp_point2point(jnp.asarray(src), m, jnp.asarray(tgt),
+                                     m, 25, 1.0)
+    got_yaw = 2.0 * np.arctan2(float(quat[2]), float(quat[3]))
+    np.testing.assert_allclose(np.asarray(pos), t, atol=0.03)
+    assert abs(got_yaw - yaw) < 0.02
+    assert float(fit) < 1e-3
+
+
+def test_pose_graph_closes_loop():
+    """Square odometry chain with drift + a perfect loop edge: the loop
+    error collapses after optimization."""
+    g = empty_graph(16, 32)
+    # square: 4 keyframes per side, true poses on a 3 m square
+    true = [(0, 0), (3, 0), (3, 3), (0, 3)]
+    yaw = [0.0, np.pi / 2, np.pi, -np.pi / 2]
+    g = add_node(g, 0, jnp.asarray([0., 0., 0.]), quat_from_yaw(jnp.asarray(0.0)))
+    drift = np.array([0.25, -0.2, 0.0], np.float32)
+    est = [np.array([0., 0., 0.], np.float32)]
+    for i in range(1, 4):
+        est.append(np.asarray([true[i][0], true[i][1], 0.0], np.float32)
+                   + drift * i / 3)
+        g = add_node(g, i, jnp.asarray(est[i]),
+                     quat_from_yaw(jnp.asarray(yaw[i])))
+    # odometry edges from the *estimated* relative poses (carry the drift)
+    from dddmr_navigation_tpu.geometry import (
+        quat_conjugate, quat_multiply, quat_rotate)
+    for e, (i, j) in enumerate([(0, 1), (1, 2), (2, 3)]):
+        qi = quat_from_yaw(jnp.asarray(yaw[i]))
+        qj = quat_from_yaw(jnp.asarray(yaw[j]))
+        rel_q = quat_multiply(quat_conjugate(qi), qj)
+        rel_p = quat_rotate(quat_conjugate(qi),
+                            jnp.asarray(est[j] - est[i]))
+        g = add_edge(g, e, i, j, rel_p, rel_q)
+    # loop edge 3→0 with the TRUE relative pose (ICP ground truth), high w
+    qi = quat_from_yaw(jnp.asarray(yaw[3]))
+    rel_q = quat_multiply(quat_conjugate(qi), quat_from_yaw(jnp.asarray(0.0)))
+    rel_p = quat_rotate(quat_conjugate(qi),
+                        jnp.asarray([0., 0., 0.]) - jnp.asarray([0., 3., 0.]))
+    g = add_edge(g, 3, 3, 0, rel_p, rel_q, weight=10.0)
+    # pose 0 anchored at origin; node 3's truth is (0, 3)
+    g2 = optimize_pose_graph(g, 10)
+    err_before = np.linalg.norm(est[3][:2] - np.array([0, 3]))
+    err_after = np.linalg.norm(np.asarray(g2.pos[3])[:2] - np.array([0, 3]))
+    assert err_after < 0.35 * err_before, (err_before, err_after)
+
+
+def test_detect_loop_candidate():
+    g = empty_graph(64, 8)
+    for i in range(40):
+        # a long loop returning to the start
+        ang = 2 * np.pi * i / 40
+        g = add_node(g, i, jnp.asarray([5 * np.cos(ang) - 5,
+                                        5 * np.sin(ang), 0.0]),
+                     quat_from_yaw(jnp.asarray(0.0)))
+    idx, found = detect_loop_candidate(g, 39, search_radius=2.0,
+                                       min_index_gap=20)
+    assert bool(found) and int(idx) <= 2
+
+
+@pytest.mark.slow
+def test_mapping_session_end_to_end(tmp_path):
+    """Drive through the room, map it, save, and localize the artifact:
+    keyframe poses must track the true path."""
+    sess = MappingSession(cfg=CFG)
+    true_path = []
+    pos = np.array([-3.0, -3.0, 0.8], np.float32)
+    yaw = 0.0
+    for t in range(10):
+        pts, mask = simulate_scan(WORLD, pos, yaw, n_rings=16, n_cols=250)
+        est_p, est_q = sess.process_scan(pts, mask)
+        true_path.append((pos.copy(), yaw))
+        pos = pos + np.array([0.45 * np.cos(yaw), 0.45 * np.sin(yaw), 0.0],
+                             np.float32)
+        yaw += 0.06
+    assert sess.n_keyframes >= 3
+    # final estimated pose near the true one (relative to scan 9's truth)
+    tp, ty = true_path[-1]
+    err = np.linalg.norm(est_p[:2] - (tp[:2] - np.array([-3.0, -3.0])))
+    assert err < 0.5, (est_p, tp)
+    out = str(tmp_path / "pg")
+    sess.save(out)
+    from dddmr_navigation_tpu.state_estimation import read_pose_graph
+    g = read_pose_graph(out)
+    assert len(g.poses) == sess.n_keyframes
+    assert len(g.feature_clouds[0]) > 50
