@@ -5,3 +5,8 @@ from dddmr_navigation_tpu.io.maps import (
     corridor_map,
     voxel_downsample,
 )
+from dddmr_navigation_tpu.io.occupancy import (
+    read_pgm,
+    occupancy_to_clouds,
+    cloud_to_occupancy,
+)

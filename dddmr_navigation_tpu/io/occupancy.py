@@ -1,6 +1,9 @@
-"""2D occupancy → synthetic 3D map clouds — the TPU framework's
-equivalent of `global_planner/utils/occupancy2ground.cpp:60-250`, which
-lets the 3D stack run on plain 2D maps (e.g. `data/warehouse.pgm`).
+"""2D occupancy ↔ 3D map clouds — the TPU framework's equivalent of
+`global_planner/utils/occupancy2ground.cpp:60-250` (occupancy → synthetic
+ground/wall clouds, which lets the 3D stack run on plain 2D maps like
+`data/warehouse.pgm`) and of
+`lego_loam_bor/src/pointcloud2occupancy/pointcloud2occupancy.cpp:49-158`
+(map cloud → 2D OccupancyGrid for 2D consumers).
 
 Free cells become ground points on z=0; occupied cells become extruded
 wall columns. Includes a minimal PGM (P2/P5) reader for ROS map_server
@@ -73,3 +76,31 @@ def occupancy_to_clouds(grid: np.ndarray, resolution: float = 0.05,
         np.stack([ox, oy, np.full_like(ox, z)], axis=1) for z in zs
     ]).astype(np.float32) if len(ox) else np.zeros((0, 3), np.float32)
     return ground, wall
+
+
+def cloud_to_occupancy(points: np.ndarray, resolution: float = 0.05):
+    """Map point cloud → 2D occupancy grid — the inverse utility,
+    mirroring `pointcloud2occupancy.cpp:108-158`: the grid spans the
+    cloud's XY bounding box truncated to cells with a one-cell margin
+    (`findMinMaxXY` `:108-131`), every cell holding a point is 100,
+    everything else 0 (`createOccupancy` `:134-158`).
+
+    Returns (grid (H, W) int8 with rows in world-y order, origin (x, y)).
+    A grid row y / col x covers world [origin + idx*res, +res).
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    if len(pts) == 0:
+        return np.zeros((0, 0), np.int8), (0.0, 0.0)
+    # int() truncation (toward zero) then ±1 — exactly the reference.
+    min_x_i = int(pts[:, 0].min() / resolution) - 1
+    min_y_i = int(pts[:, 1].min() / resolution) - 1
+    max_x_i = int(pts[:, 0].max() / resolution) + 1
+    max_y_i = int(pts[:, 1].max() / resolution) + 1
+    w = max_x_i - min_x_i
+    h = max_y_i - min_y_i
+    grid = np.zeros((h, w), np.int8)
+    xi = (pts[:, 0] / resolution).astype(np.int64) - min_x_i
+    yi = (pts[:, 1] / resolution).astype(np.int64) - min_y_i
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    grid[yi[ok], xi[ok]] = 100
+    return grid, (min_x_i * resolution, min_y_i * resolution)

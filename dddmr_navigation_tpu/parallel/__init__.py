@@ -1,2 +1,5 @@
 from dddmr_navigation_tpu.parallel.fleet import (
     fleet_tick, make_fleet_mesh, sharded_fleet_tick, FleetState)
+from dddmr_navigation_tpu.parallel.multihost import (
+    initialize_distributed, make_host_mesh, scenario_sharding,
+    sharded_fleet_tick_multihost, host_local_batch)

@@ -109,11 +109,15 @@ class DepthCameraObservation(NamedTuple):
 
 def clear_with_frustums(spec: VoxelSpec, cam: CameraModel, grid, origin,
                         observations: DepthCameraObservation,
-                        range_margin: float = 0.1):
+                        range_margin: float = 0.1,
+                        attach_dist: float = 0.2):
     """selfClear (`depth_camera_layer.cpp:226-456`): a marked voxel inside
     any camera's latest frustum is cleared unless the depth cloud blocks
-    the line of sight or re-observes it. Observations carry a leading
-    camera axis."""
+    the line of sight (range-image test) or the voxel is ATTACHED to the
+    cloud — within ``attach_dist`` of any depth point in 3D, the
+    reference's `FrustumUtils::isAttachFRUSTUMs` re-observation test
+    (`frustum_utils.cpp:219-291`). Observations carry a leading camera
+    axis."""
     from dddmr_navigation_tpu.perception.marking import _window_cell_positions
 
     pos = _window_cell_positions(spec, origin)      # (Nx,Ny,Nz,3)
@@ -140,9 +144,14 @@ def clear_with_frustums(spec: VoxelSpec, cam: CameraModel, grid, origin,
             jnp.where(mask, bins(d_pts), 32 * 24 - 1)].min(
             jnp.where(mask, r_pts, jnp.inf))
         seen_r = img[bins(d_vox)]
-        blocked = seen_r < r_vox - range_margin
-        reobserved = jnp.abs(seen_r - r_vox) <= range_margin
-        return inside, blocked | reobserved
+        blocked = jnp.isfinite(seen_r) & (seen_r < r_vox - range_margin)
+        # attach test: 3D proximity to any depth point re-observes the
+        # voxel (empty angular bins carry no evidence either way, so the
+        # binned image is only used for the in-front occlusion test)
+        d2 = jnp.sum((flat[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(mask[None, :], d2, jnp.inf)
+        attached = jnp.min(d2, axis=1) <= attach_dist ** 2
+        return inside, blocked | attached
 
     inside_any, keep_any = jax.vmap(per_camera)(
         observations.cam_pos, observations.cam_quat,

@@ -9,3 +9,4 @@ from dddmr_navigation_tpu.slam.pose_graph import (
     PoseGraphArrays, empty_graph, add_node, add_edge,
     optimize_pose_graph, detect_loop_candidate)
 from dddmr_navigation_tpu.slam.pipeline import MappingSession
+from dddmr_navigation_tpu.slam.editor import GraphEditor

@@ -43,6 +43,15 @@ class FeatureSet(NamedTuple):
     flat_mask: jnp.ndarray
     less_flat: jnp.ndarray    # (max_less_flat, 3)
     less_flat_mask: jnp.ndarray
+    # ring (scan-row) index per target feature — the reference stores it
+    # in point intensity and constrains correspondence picks with it
+    # (`featureAssociation.cpp:633-676` corners, `:751-806` surfs).
+    less_sharp_ring: jnp.ndarray   # (max_less_sharp,) i32
+    less_flat_ring: jnp.ndarray    # (max_less_flat,) i32
+    # True where a less-flat pick is a ground pixel: the artifact writer
+    # splits map.pcd (structural) from ground.pcd with it, mirroring the
+    # reference's ground-edge detection thread (`mapOptimization.h:119`).
+    less_flat_ground: jnp.ndarray  # (max_less_flat,) bool
 
 
 def smoothness(rng, valid):
@@ -105,12 +114,16 @@ def _pick_lane(curv, elig, maximize: bool, n_picks: int, suppress: int = 5):
 
 
 def _compact(pts, mask, size):
-    """Static-shape compaction of masked (V,H) picks into (size, 3)."""
+    """Static-shape compaction of masked (V,H) picks into (size, 3).
+    Returns (points, valid, ring): ring = source image row per pick."""
+    v, h = mask.shape
     flat_m = mask.reshape(-1)
     idx = jnp.nonzero(flat_m, size=size, fill_value=-1)[0]
     ok = idx >= 0
-    p = pts.reshape(-1, 3)[jnp.clip(idx, 0, pts.shape[0] * pts.shape[1] - 1)]
-    return jnp.where(ok[:, None], p, 0.0), ok
+    p = pts.reshape(-1, 3)[jnp.clip(idx, 0, v * h - 1)]
+    ring = jnp.where(ok, jnp.clip(idx, 0, v * h - 1) // h, -1).astype(
+        jnp.int32)
+    return jnp.where(ok[:, None], p, 0.0), ok, ring
 
 
 def extract_features(cfg: SlamConfig, img: RangeImage) -> FeatureSet:
@@ -158,8 +171,12 @@ def extract_features(cfg: SlamConfig, img: RangeImage) -> FeatureSet:
     less_flat_m = ((img.segment_mask | img.ground) & img.valid
                    & ~sharp_m & (col % 4 == 0))
 
-    sharp, sm = _compact(img.pts, sharp2_m, cfg.max_sharp)
-    less_sharp, lsm = _compact(img.pts, sharp_m, cfg.max_less_sharp)
-    flat, fm = _compact(img.pts, flat_m, cfg.max_flat)
-    less_flat, lfm = _compact(img.pts, less_flat_m, cfg.max_less_flat)
-    return FeatureSet(sharp, sm, less_sharp, lsm, flat, fm, less_flat, lfm)
+    sharp, sm, _ = _compact(img.pts, sharp2_m, cfg.max_sharp)
+    less_sharp, lsm, lsr = _compact(img.pts, sharp_m, cfg.max_less_sharp)
+    flat, fm, _ = _compact(img.pts, flat_m, cfg.max_flat)
+    less_flat, lfm, lfr = _compact(img.pts, less_flat_m, cfg.max_less_flat)
+    lf_idx = jnp.nonzero(less_flat_m.reshape(-1), size=cfg.max_less_flat,
+                         fill_value=0)[0]
+    lf_ground = img.ground.reshape(-1)[lf_idx] & lfm
+    return FeatureSet(sharp, sm, less_sharp, lsm, flat, fm, less_flat, lfm,
+                      lsr, lfr, lf_ground)

@@ -44,11 +44,21 @@ def _odometry(cfg: SlamConfig, feats: FeatureSet, ref: FeatureSet,
               init_pos, init_quat):
     """Scan-to-keyframe matching (the reference's scan-to-scan GN +
     scan-to-map LM collapse into one matcher against the reference
-    keyframe's features — parity target is the pose output)."""
+    keyframe's features — parity target is the pose output).
+
+    Plane sources are the decimated less-flat set (walls + ground), as in
+    the reference's scan-to-map stage (`mapOptimization.cpp:1519`:
+    `surfTotalLast` = less-flat): ground-only flat features leave x/y
+    constrained solely by corner lines, whose picks are
+    azimuth-quantization-jittered — wall planes pin translation cleanly.
+    """
     return match_scans(
-        cfg, feats.sharp, feats.sharp_mask, feats.flat, feats.flat_mask,
+        cfg, feats.sharp, feats.sharp_mask,
+        feats.less_flat[::4], feats.less_flat_mask[::4],
         ref.less_sharp, ref.less_sharp_mask, ref.less_flat,
-        ref.less_flat_mask, init_pos=init_pos, init_quat=init_quat)
+        ref.less_flat_mask, init_pos=init_pos, init_quat=init_quat,
+        tgt_less_sharp_ring=ref.less_sharp_ring,
+        tgt_less_flat_ring=ref.less_flat_ring)
 
 
 @dataclass
@@ -180,7 +190,15 @@ class MappingSession:
             poses[i, :3] = p
             poses[i, 4:7] = (r, pch, y)
             f = self.keyframe_feats[i]
-            feats.append(np.asarray(f.less_sharp)[np.asarray(f.less_sharp_mask)])
-            grounds.append(np.asarray(f.less_flat)[np.asarray(f.less_flat_mask)])
+            lf = np.asarray(f.less_flat)
+            lfm = np.asarray(f.less_flat_mask)
+            lfg = np.asarray(f.less_flat_ground)
+            # feature (map) cloud = edges + non-ground surfaces; ground
+            # cloud = ground surfaces — the reference's pcdSaver split
+            # (`mapOptimization.h:91,119`).
+            feats.append(np.concatenate([
+                np.asarray(f.less_sharp)[np.asarray(f.less_sharp_mask)],
+                lf[lfm & ~lfg]]))
+            grounds.append(lf[lfg])
         write_pose_graph(out_dir, PoseGraph(
             poses=poses, feature_clouds=feats, ground_clouds=grounds))

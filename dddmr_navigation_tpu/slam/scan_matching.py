@@ -96,15 +96,31 @@ def _plane_residuals(xi, pos, quat, src, pa, pb, pc):
     return jnp.sum((p - pa) * n, axis=-1)
 
 
-def _gn_step(pos, quat, residual_fn, weights, damping=1e-4):
-    """One damped Gauss-Newton step on the 6-twist. residual_fn: ξ → (R,)."""
+def _gn_step(pos, quat, residual_fn, weights, damping=1e-4,
+             lm_lambda=0.05, max_rot=0.2, max_trans=0.3):
+    """One damped Gauss-Newton step on the 6-twist. residual_fn: ξ → (R,).
+
+    Robustness against imperfect correspondences (LOAM's features are
+    occlusion-boundary picks, not exact geometric edges): Marquardt
+    diagonal scaling shrinks weakly-observed directions, and the step is
+    trust-region-clipped per iteration — re-matching next iteration
+    corrects course, exactly like the reference's `iterCount` loop with
+    its small per-iteration updates (`featureAssociation.cpp:1254-1460`).
+    """
     xi0 = jnp.zeros((6,), jnp.float32)
     r = residual_fn(xi0)
     J = jax.jacfwd(residual_fn)(xi0)          # (R, 6)
     w = weights
-    JtJ = (J * w[:, None]).T @ J + damping * jnp.eye(6)
+    JtJ = (J * w[:, None]).T @ J
+    JtJ = JtJ + lm_lambda * jnp.diag(jnp.diag(JtJ)) + damping * jnp.eye(6)
     Jtr = (J * w[:, None]).T @ r
     xi = -jnp.linalg.solve(JtJ, Jtr)
+    rot_n = jnp.linalg.norm(xi[:3])
+    trans_n = jnp.linalg.norm(xi[3:])
+    scale = jnp.minimum(1.0, jnp.minimum(
+        max_rot / jnp.maximum(rot_n, 1e-9),
+        max_trans / jnp.maximum(trans_n, 1e-9)))
+    xi = xi * scale
     wv, dt = xi[:3], xi[3:]
     dq = quat_exp(wv)
     new_quat = quat_normalize(quat_multiply(dq, quat))
@@ -112,11 +128,30 @@ def _gn_step(pos, quat, residual_fn, weights, damping=1e-4):
     return new_pos, new_quat
 
 
+def _first_true(ok):
+    """(N, K) bool → (first-true column index, any) per row."""
+    return jnp.argmax(ok, axis=1), jnp.any(ok, axis=1)
+
+
+def _take(idx, j):
+    return jnp.take_along_axis(idx, j[:, None], axis=1)[:, 0]
+
+
 def match_scans(cfg: SlamConfig, src_sharp, src_sharp_mask, src_flat,
                 src_flat_mask, tgt_less_sharp, tgt_less_sharp_mask,
                 tgt_less_flat, tgt_less_flat_mask,
-                init_pos=None, init_quat=None, iters: int | None = None):
+                init_pos=None, init_quat=None, iters: int | None = None,
+                tgt_less_sharp_ring=None, tgt_less_flat_ring=None):
     """LOAM odometry: align source features to target features.
+
+    With target ring indices (FeatureSet.less_sharp_ring/.less_flat_ring),
+    correspondences follow the reference's ring constraints
+    (`featureAssociation.cpp:633-676,751-806`): a corner line pairs the
+    nearest point with the nearest point on a DIFFERENT ring within ±2
+    (same-ring pairs are occlusion-boundary points of the same azimuth
+    step, whose skew lines wreck the Gauss-Newton geometry); a surf plane
+    spans the nearest point, a same-ring neighbor and a different-ring
+    neighbor. Without rings falls back to plain 2-/3-NN.
 
     Returns (pos, quat, mean_residual): the transform taking source-frame
     points into the target frame.
@@ -127,26 +162,57 @@ def match_scans(cfg: SlamConfig, src_sharp, src_sharp_mask, src_flat,
         init_quat = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
     iters = iters or cfg.scan_match_iters
     max_d2 = cfg.nearest_feature_search_distance ** 2
+    k_nn = 8
 
     def body(_, carry):
         pos, quat, _ = carry
         # --- corners → lines -------------------------------------------
         ps = _apply(pos, quat, src_sharp)
-        idx_c, d2_c = _knn(ps, tgt_less_sharp, tgt_less_sharp_mask, 2)
-        la = tgt_less_sharp[idx_c[:, 0]]
-        lb = tgt_less_sharp[idx_c[:, 1]]
-        w_c = (src_sharp_mask & (d2_c[:, 0] < max_d2)
-               & (d2_c[:, 1] < max_d2)).astype(jnp.float32)
+        if tgt_less_sharp_ring is None:
+            idx_c, d2_c = _knn(ps, tgt_less_sharp, tgt_less_sharp_mask, 2)
+            la = tgt_less_sharp[idx_c[:, 0]]
+            lb = tgt_less_sharp[idx_c[:, 1]]
+            w_c = (src_sharp_mask & (d2_c[:, 0] < max_d2)
+                   & (d2_c[:, 1] < max_d2)).astype(jnp.float32)
+        else:
+            idx_c, d2_c = _knn(ps, tgt_less_sharp, tgt_less_sharp_mask,
+                               k_nn)
+            rings = tgt_less_sharp_ring[idx_c]            # (N, k)
+            r0 = rings[:, :1]
+            cand = ((rings != r0) & (jnp.abs(rings - r0) <= 2)
+                    & (d2_c < max_d2))
+            cand = cand.at[:, 0].set(False)
+            j2, has2 = _first_true(cand)
+            la = tgt_less_sharp[idx_c[:, 0]]
+            lb = tgt_less_sharp[_take(idx_c, j2)]
+            w_c = (src_sharp_mask & (d2_c[:, 0] < max_d2) & has2
+                   ).astype(jnp.float32)
         # --- flats → planes ---------------------------------------------
         pf = _apply(pos, quat, src_flat)
-        idx_s, d2_s = _knn(pf, tgt_less_flat, tgt_less_flat_mask, 3)
-        pa = tgt_less_flat[idx_s[:, 0]]
-        pb = tgt_less_flat[idx_s[:, 1]]
-        pc = tgt_less_flat[idx_s[:, 2]]
+        if tgt_less_flat_ring is None:
+            idx_s, d2_s = _knn(pf, tgt_less_flat, tgt_less_flat_mask, 3)
+            pa = tgt_less_flat[idx_s[:, 0]]
+            pb = tgt_less_flat[idx_s[:, 1]]
+            pc = tgt_less_flat[idx_s[:, 2]]
+            w_extra = jnp.ones(pf.shape[0], bool)
+        else:
+            idx_s, d2_s = _knn(pf, tgt_less_flat, tgt_less_flat_mask, k_nn)
+            rings = tgt_less_flat_ring[idx_s]
+            r0 = rings[:, :1]
+            gate = d2_s < max_d2
+            same = (rings == r0) & gate
+            same = same.at[:, 0].set(False)
+            diff = (rings != r0) & (jnp.abs(rings - r0) <= 2) & gate
+            jb, has_b = _first_true(same)
+            jc, has_c = _first_true(diff)
+            pa = tgt_less_flat[idx_s[:, 0]]
+            pb = tgt_less_flat[_take(idx_s, jb)]
+            pc = tgt_less_flat[_take(idx_s, jc)]
+            w_extra = has_b & has_c
         degenerate = jnp.linalg.norm(
             jnp.cross(pb - pa, pc - pa), axis=-1) < 1e-6
         w_s = (src_flat_mask & (d2_s[:, 0] < max_d2) & ~degenerate
-               ).astype(jnp.float32)
+               & w_extra).astype(jnp.float32)
 
         def res(xi):
             rc = _line_residuals(xi, pos, quat, src_sharp, la, lb)

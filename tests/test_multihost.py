@@ -1,0 +1,92 @@
+"""Fleet sharding over the virtual 8-device CPU mesh: single-axis
+scenario mesh (parallel/fleet.py) and the 2-level (dcn, ici) multi-host
+mesh (parallel/multihost.py) — SURVEY.md §2.12 / BASELINE.json configs
+4-5, tested per §4 via forced host-platform devices."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddmr_navigation_tpu.config import (
+    LocalPlannerConfig, DDSimpleGeneratorConfig)
+from dddmr_navigation_tpu.geometry import quat_from_yaw
+from dddmr_navigation_tpu.planning.local.planner import make_global_plan
+from dddmr_navigation_tpu.parallel import (
+    FleetState, make_fleet_mesh, sharded_fleet_tick, fleet_tick,
+    make_host_mesh, scenario_sharding, sharded_fleet_tick_multihost,
+    host_local_batch, initialize_distributed)
+from dddmr_navigation_tpu.parallel.fleet import shard_fleet_arrays
+
+
+def _tiny_setup(b):
+    """Same tiny shapes as __graft_entry__.dryrun_multichip so the
+    compiled programs share the persistent cache with the driver."""
+    cfg = LocalPlannerConfig(
+        max_plan_len=64, max_prune_len=32, max_obstacle_points=64,
+        generator=DDSimpleGeneratorConfig(
+            linear_x_sample=3, angular_z_sample=3, max_num_steps=16,
+            sim_granularity=0.2, angular_sim_granularity=0.1),
+    )
+    xs = np.arange(0, 3.0, 0.1, dtype=np.float32)
+    plan_pts = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1)
+    plan1 = make_global_plan(plan_pts, max_len=cfg.max_plan_len)
+    plans = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), plan1)
+    state = FleetState(
+        pos=jnp.zeros((b, 3)),
+        quat=jnp.broadcast_to(quat_from_yaw(jnp.float32(0.0)), (b, 4)),
+        v=jnp.zeros((b,)), w=jnp.zeros((b,)))
+    obstacles = jnp.full((b, cfg.max_obstacle_points, 3), 50.0)
+    obs_valid = jnp.ones((b, cfg.max_obstacle_points), bool)
+    return cfg, plans, state, obstacles, obs_valid
+
+
+def test_sharded_fleet_tick_8_devices():
+    n = len(jax.devices())
+    assert n >= 8, "conftest must force 8 virtual devices"
+    cfg, plans, state, obstacles, obs_valid = _tiny_setup(b=16)
+    mesh = make_fleet_mesh(8)
+    tick = sharded_fleet_tick(cfg, mesh)
+    inputs = shard_fleet_arrays(mesh, (plans, state, obstacles, obs_valid))
+    vx, wz, codes, costs, fleet_cost = tick(*inputs)
+    assert vx.shape == (16,)
+    assert np.isfinite(float(fleet_cost))
+    # replicated scalar must equal the mean over accepted robots
+    c = np.asarray(costs)
+    ok = c >= 0
+    assert ok.any()
+    np.testing.assert_allclose(float(fleet_cost), c[ok].mean(), rtol=1e-5)
+
+
+def test_multihost_mesh_matches_single_axis():
+    """The (2 hosts × 4 chips) hierarchical reduction must agree with the
+    flat 8-chip mesh and with an unsharded vmap run."""
+    cfg, plans, state, obstacles, obs_valid = _tiny_setup(b=16)
+    mesh = make_host_mesh(n_hosts=2, devices_per_host=4)
+    assert mesh.shape == {"dcn": 2, "ici": 4}
+    tick = sharded_fleet_tick_multihost(cfg, mesh)
+    inputs = host_local_batch(mesh, (plans, state, obstacles, obs_valid))
+    vx, wz, codes, costs, fleet_cost = tick(*inputs)
+
+    ref_vx, ref_wz, ref_codes, ref_costs = fleet_tick(
+        cfg, plans, state, obstacles, obs_valid)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(ref_vx),
+                               atol=1e-5)
+    c = np.asarray(ref_costs)
+    ok = c >= 0
+    np.testing.assert_allclose(float(fleet_cost), c[ok].mean(), rtol=1e-4)
+
+
+def test_scenario_sharding_spans_all_devices():
+    mesh = make_host_mesh(n_hosts=2, devices_per_host=4)
+    sh = scenario_sharding(mesh)
+    x = jax.device_put(np.zeros((16, 3), np.float32), sh)
+    assert len(x.sharding.device_set) == 8
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    monkeypatch.delenv("DDDMR_COORDINATOR", raising=False)
+    assert initialize_distributed() is False
+    # explicit single-process: still a no-op
+    assert initialize_distributed(coordinator_address="127.0.0.1:1234",
+                                  num_processes=1) is False

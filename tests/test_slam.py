@@ -89,8 +89,11 @@ def test_scan_matching_recovers_motion():
     true_dx, true_dyaw = 0.4, 0.12
     f1 = _features_at([true_dx, 0.0, 0.8], true_dyaw)
     pos, quat, res = match_scans(
-        CFG, f1.sharp, f1.sharp_mask, f1.flat, f1.flat_mask,
-        f0.less_sharp, f0.less_sharp_mask, f0.less_flat, f0.less_flat_mask)
+        CFG, f1.sharp, f1.sharp_mask,
+        f1.less_flat[::4], f1.less_flat_mask[::4],
+        f0.less_sharp, f0.less_sharp_mask, f0.less_flat, f0.less_flat_mask,
+        tgt_less_sharp_ring=f0.less_sharp_ring,
+        tgt_less_flat_ring=f0.less_flat_ring)
     # transform maps scan-1 sensor points into scan-0 frame:
     # x0 = R(dyaw)·x1 + t with t ≈ (dx, 0, 0)
     yaw = 2.0 * np.arctan2(float(quat[2]), float(quat[3]))
