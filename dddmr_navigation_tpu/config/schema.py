@@ -67,6 +67,13 @@ class TrajectoryGeneratorLimits:
     wheel_diameter: float = 0.16
     gear_ratio: float = 1.0
     robot_radius: float = 0.25
+    # omni-drive only (reference OmniSimpleTrajectoryGeneratorTheory keys,
+    # `p2p_wo_mcl.yaml:86-98`)
+    max_vel_y: float = 0.0
+    min_vel_y: float = 0.0
+    acc_lim_y: float = 1.0
+    min_vel_trans: float = 0.1
+    max_vel_trans: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -87,6 +94,29 @@ class DDSimpleGeneratorConfig:
     def n_samples_padded(self) -> int:
         # +1 slot per axis for the VelocityIterator zero-insertion
         return (self.linear_x_sample + 1) * (self.angular_z_sample + 1)
+
+
+@dataclass(frozen=True)
+class OmniSimpleGeneratorConfig:
+    """Omni-drive DWA sampler (reference OmniSimpleTrajectoryGeneratorTheory,
+    `omni_simple_trajectory_generator_theory.cpp:259-332`): vx × vy × ω grid."""
+    limits: TrajectoryGeneratorLimits = TrajectoryGeneratorLimits(
+        min_vel_x=-1.0, max_vel_y=1.0, min_vel_y=-1.0, acc_lim_x=2.0,
+        acc_lim_y=2.0, use_motor_constraint=False)
+    controller_frequency: float = 10.0
+    sim_time: float = 2.0
+    linear_x_sample: int = 5
+    linear_y_sample: int = 5
+    angular_z_sample: int = 10
+    sim_granularity: float = 0.05
+    angular_sim_granularity: float = 0.025
+    cuboid: CuboidConfig = CuboidConfig()
+    max_num_steps: int = 64
+
+    @property
+    def n_samples_padded(self) -> int:
+        return ((self.linear_x_sample + 1) * (self.linear_y_sample + 1)
+                * (self.angular_z_sample + 1))
 
 
 @dataclass(frozen=True)
@@ -114,6 +144,7 @@ class CriticsConfig:
     """Critic stack bound to one generator, in scoring order
     (reference `stacked_scoring_model.cpp:75-97`: negative short-circuits)."""
     collision: Optional[CriticConfig] = CriticConfig(plugin="mpc_critics::CollisionModel", weight=1.0)
+    collision_min_max: Optional[CriticConfig] = None  # mpc_critics::CollisionMinMaxModel
     stick_path: Optional[CriticConfig] = CriticConfig(plugin="mpc_critics::StickPathModel", weight=0.1)
     pure_pursuit: Optional[CriticConfig] = CriticConfig(
         plugin="mpc_critics::PurePursuitModel", translation_weight=1.0, orientation_weight=0.01)
@@ -136,6 +167,7 @@ class LocalPlannerConfig:
     controller_frequency: float = 10.0
     cuboid: CuboidConfig = CuboidConfig()
     generator: DDSimpleGeneratorConfig = DDSimpleGeneratorConfig()
+    omni_generator: OmniSimpleGeneratorConfig = OmniSimpleGeneratorConfig()
     rotate_generator: DDRotateInplaceConfig = DDRotateInplaceConfig()
     critics: CriticsConfig = CriticsConfig()
     rotate_critics: CriticsConfig = CriticsConfig(

@@ -77,7 +77,7 @@ def rotate_recovery_step(cfg: LocalPlannerConfig, rec: RotateRecoveryState,
     home = jnp.abs(shortest_angular_distance(yaw, rec.start_yaw))
     done = got_180 & (home < tolerance)
 
-    wz = jnp.where(found & (~done), r.samples[idx, 1], 0.0)
+    wz = jnp.where(found & (~done), r.samples[idx, -1], 0.0)
     rec2 = RotateRecoveryState(start_yaw=rec.start_yaw, got_180=got_180,
                                active=rec.active & (~done) & (~failed))
     return rec2, wz, done, failed

@@ -96,6 +96,56 @@ def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,
     return (np.asarray(positions, np.float32), np.asarray(quats, np.float32))
 
 
+def post_smooth_path(ground: np.ndarray, map_pts: np.ndarray, path_ids,
+                     inscribed_radius: float = 0.5):
+    """`GlobalPlanner::postSmoothPath` (`global_planner.cpp:233-311`):
+    greedy line-of-sight shortcutting over the node path. A node is kept
+    when any 5%-step interpolated sample along the anchor→node segment
+    (a) has >1 map point within inscribed_radius (obstacle in the way),
+    (b) has <2 ground points within 1.0 m (segment leaves the ground),
+    (c) jumps vertically (planar reach >0.5 m with slope angle >0.349 rad),
+    or (d) exceeds 20 m planar reach; otherwise the node is skipped.
+    Host-side (plan post-processing, replan-rate work, like the reference's
+    unused-but-shipped implementation).
+
+    Returns the smoothed node-id list (first and last always kept).
+    """
+    ids = [int(i) for i in np.asarray(path_ids).ravel()]
+    if len(ids) <= 2:
+        return list(ids)
+    ground = np.asarray(ground, np.float32)
+    map_pts = np.asarray(map_pts, np.float32).reshape(-1, 3)
+    out = [ids[0]]
+    anchor = ground[ids[0]]
+    steps = np.arange(0.05, 0.99, 0.05, dtype=np.float32)
+    for nid in ids[1:-1]:
+        nxt = ground[nid]
+        v = nxt - anchor
+        cand = anchor[None, :] + steps[:, None] * v[None, :]   # (T,3)
+        keep = False
+        # (a) obstacle: strictly more than one map point in radius
+        if len(map_pts):
+            d2 = np.sum((cand[:, None, :] - map_pts[None, :, :]) ** 2, -1)
+            hits = np.sum(d2 <= inscribed_radius ** 2, axis=1)
+            keep |= bool(np.any(hits > 1))
+        # (b) off-ground: fewer than 2 ground points within 1 m
+        d2g = np.sum((cand[:, None, :] - ground[None, :, :]) ** 2, -1)
+        near_g = np.sum(d2g <= 1.0, axis=1)
+        keep |= bool(np.any(near_g < 2))
+        # (c) z jump / (d) overlong reach
+        dxy = steps * np.hypot(v[0], v[1])
+        dz = steps * abs(v[2])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ang = np.arcsin(np.clip(dz / np.maximum(dxy, 1e-9), 0.0, 1.0))
+        keep |= bool(np.any((dxy > 0.5) & (ang > 0.349)))
+        keep |= bool(np.any(dxy > 20.0))
+        if keep:
+            out.append(nid)
+            anchor = nxt
+    out.append(ids[-1])
+    return out
+
+
 def dwa_local_goal(dist_to_goal, ground, plan_positions, robot_pos,
                    look_ahead_distance: float, dgraph, inscribed_radius: float):
     """`DWA_GlobalPlanner::determineDWAPlan` look-ahead goal selection

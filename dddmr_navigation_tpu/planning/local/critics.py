@@ -127,6 +127,59 @@ def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid,
     return jnp.where(enough & hit, -1.0, 0.0)
 
 
+def collision_min_max_scores(r: Rollouts, cuboid: CuboidConfig, obstacles,
+                             obs_valid, obstacle_chunk: int = 256):
+    """`CollisionMinMaxModel::scoreTrajectory`
+    (`collision_min_max_model.cpp:51-89`): the cheaper AABB variant — -1
+    when any observed point within 1 m of a rollout pose falls inside the
+    axis-aligned bounding box of the transformed footprint cuboid at that
+    step; 0 otherwise; 0 when fewer than 5 points.
+
+    The 1 m radius gate is part of the reference semantics (points inside
+    the AABB but beyond the radius search are never tested), so it is kept.
+    """
+    enough = jnp.sum(obs_valid) >= 5
+
+    corners = jnp.asarray(cuboid.corners(), jnp.float32)         # (8,3)
+    cth, sth = jnp.cos(r.theta), jnp.sin(r.theta)                # (S,N)
+
+    # corner c rotated by Rz(theta) then robot_quat, in robot-centered coords
+    def corner_g(c):
+        v = jnp.stack([cth * c[0] - sth * c[1],
+                       sth * c[0] + cth * c[1],
+                       jnp.broadcast_to(c[2], cth.shape)], axis=-1)
+        return quat_rotate(r.robot_quat, v)                      # (S,N,3)
+
+    rel = r.positions - r.robot_pos                              # (S,N,3)
+    cg = jnp.stack([rel + corner_g(corners[i]) for i in range(8)],
+                   axis=2)                                       # (S,N,8,3)
+    aabb_min = jnp.min(cg, axis=2)                               # (S,N,3)
+    aabb_max = jnp.max(cg, axis=2)
+
+    k_total = obstacles.shape[0]
+    chunk = min(obstacle_chunk, k_total)
+    n_chunks = -(-k_total // chunk)
+    pad = n_chunks * chunk - k_total
+    obs_p = jnp.pad(obstacles - r.robot_pos, ((0, pad), (0, 0)))
+    obs_m = jnp.pad(obs_valid, (0, pad))
+    obs_p = obs_p.reshape(n_chunks, chunk, 3)
+    obs_m = obs_m.reshape(n_chunks, chunk)
+
+    def body(hit, chunk_in):
+        pts, mask = chunk_in                                      # (C,3),(C,)
+        d = pts[None, None, :, :] - rel[:, :, None, :]            # (S,N,C,3)
+        near = jnp.sum(d * d, axis=-1) <= 1.0                     # (S,N,C)
+        inside = jnp.all(
+            (pts[None, None, :, :] >= aabb_min[:, :, None, :])
+            & (pts[None, None, :, :] <= aabb_max[:, :, None, :]), axis=-1)
+        bad = inside & near & mask[None, None, :] & r.step_valid[:, :, None]
+        return hit | jnp.any(bad, axis=(1, 2)), None
+
+    hit0 = jnp.zeros(r.valid.shape, bool)
+    hit, _ = jax.lax.scan(body, hit0, (obs_p, obs_m))
+    return jnp.where(enough & hit, -1.0, 0.0)
+
+
 def stick_path_scores(r: Rollouts, plan: PrunePlan, weight: float):
     """`StickPathModel` (`stick_path_model.cpp:51-77`): Σ_steps NN-distance
     to the prune plan, divided by the *plan* size (reference quirk), +10
@@ -188,14 +241,14 @@ def shortest_angle_scores(r: Rollouts, heading_deviation, weight: float):
     """`ShortestAngleModel` (`shortest_angle_model.cpp:51-67`): weight when
     the rotation direction matches the heading deviation sign, 2×weight
     otherwise."""
-    match = jnp.where(heading_deviation >= 0,
-                      r.samples[:, 1] >= 0, r.samples[:, 1] < 0)
+    w = r.samples[:, -1]  # ω is the last column (dd and omni layouts)
+    match = jnp.where(heading_deviation >= 0, w >= 0, w < 0)
     return jnp.where(match, weight, 2.0 * weight)
 
 
 def twirling_scores(r: Rollouts, weight: float):
     """`TwirlingModel` (`twirling_model.cpp:51-55`): |ω|·weight."""
-    return jnp.abs(r.samples[:, 1]) * weight
+    return jnp.abs(r.samples[:, -1]) * weight
 
 
 def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
@@ -224,6 +277,10 @@ def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
                                obstacle_chunk=obstacle_chunk,
                                near_k=collision_near_k)
               * critics.collision.weight)
+    if getattr(critics, "collision_min_max", None) is not None:
+        apply(collision_min_max_scores(r, cuboid, obstacles, obs_valid,
+                                       obstacle_chunk=obstacle_chunk)
+              * critics.collision_min_max.weight)
     if critics.stick_path is not None:
         apply(stick_path_scores(r, plan, 1.0) * critics.stick_path.weight)
     if critics.pure_pursuit is not None:

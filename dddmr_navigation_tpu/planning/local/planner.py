@@ -19,7 +19,7 @@ from dddmr_navigation_tpu.geometry import (
     quat_rotate, quat_conjugate, quat_multiply, yaw_from_quat,
     slope_aware_quat, normalize_angle)
 from dddmr_navigation_tpu.planning.local.sampler import (
-    dd_simple_samples, rotate_inplace_samples)
+    dd_simple_samples, omni_simple_samples, rotate_inplace_samples)
 from dddmr_navigation_tpu.planning.local.rollout import Rollouts, rollout
 from dddmr_navigation_tpu.planning.local.critics import (
     PrunePlan, score_rollouts, best_trajectory)
@@ -172,6 +172,7 @@ def goal_reached(cfg: LocalPlannerConfig, plan: GlobalPlan, robot_pos):
 class VelocityCommand(NamedTuple):
     vx: jnp.ndarray
     wz: jnp.ndarray
+    vy: jnp.ndarray           # nonzero only for the omni generator
     state: jnp.ndarray        # PlannerState code, int32
     best_index: jnp.ndarray
     best_cost: jnp.ndarray
@@ -186,8 +187,8 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
                              obstacles, obs_valid,
                              allowed_max_speed=-1.0,
                              heading_deviation=0.0,
-                             generator: str = "differential_drive_simple"
-                             ) -> VelocityCommand:
+                             generator: str = "differential_drive_simple",
+                             vy_now=0.0) -> VelocityCommand:
     """One control tick (`computeVelocityCommand`, `local_planner.cpp:482-621`),
     minus the host-side gates (sensor freshness, TF age) which live in the
     move-base driver.
@@ -196,9 +197,11 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
       obstacles/obs_valid: padded aggregated observation (the local
         vertical's raw transformed scan — `multilayer_spinning_lidar.cpp:
         264-269`).
-      generator: 'differential_drive_simple' | 'differential_drive_rotate_inplace'
+      generator: 'differential_drive_simple' | 'omni_drive_simple'
+        | 'differential_drive_rotate_inplace'
         | 'differential_drive_rotate_shortest_angle' (static switch — each
         compiles its own program, as the reference pre-registers plugins).
+      vy_now: current lateral velocity (omni generator only).
     """
     pp, prune_ok = prune_plan(cfg, plan, robot_pos)
 
@@ -212,6 +215,24 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
                     min_vel_x=gen.limits.min_vel_x,
                     min_vel_theta=gen.limits.min_vel_theta,
                     max_vel_x=gen.limits.max_vel_x,
+                    max_steps=gen.max_num_steps)
+        critics = cfg.critics
+        cuboid = gen.cuboid
+    elif generator == "omni_drive_simple":
+        gen = cfg.omni_generator
+        samples, valid = omni_simple_samples(
+            gen, v_now, jnp.asarray(vy_now, jnp.float32), w_now)
+        # speed-zone cap rejects by translational magnitude
+        # (`omni_simple_...cpp:513-517`)
+        cap = jnp.asarray(allowed_max_speed, jnp.float32)
+        vmag = jnp.hypot(samples[:, 0], samples[:, 1])
+        valid = valid & ((cap <= 0.0) | (vmag - 1e-4 <= cap))
+        r = rollout(samples, valid, robot_pos, robot_quat,
+                    sim_time=gen.sim_time, sim_granularity=gen.sim_granularity,
+                    angular_sim_granularity=gen.angular_sim_granularity,
+                    min_vel_x=gen.limits.min_vel_trans,
+                    min_vel_theta=gen.limits.min_vel_theta,
+                    max_vel_x=gen.limits.max_vel_trans,
                     max_steps=gen.max_num_steps)
         critics = cfg.critics
         cuboid = gen.cuboid
@@ -237,15 +258,16 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
         collision_near_k=cfg.collision_near_k)
     idx, cost, found = best_trajectory(costs, rejected)
 
-    vx = jnp.where(found, r.samples[idx, 0], 0.0)
-    wz = jnp.where(found, r.samples[idx, 1], 0.0)
+    found_ok = found & prune_ok
+    vx = jnp.where(found_ok, r.samples[idx, 0], 0.0)
+    wz = jnp.where(found_ok, r.samples[idx, -1], 0.0)
+    vy = (jnp.where(found_ok, r.samples[idx, 1], 0.0)
+          if r.samples.shape[1] == 3 else jnp.zeros_like(vx))
     state = jnp.where(
         ~prune_ok, PlannerState.PRUNE_PLAN_FAIL,
         jnp.where(found, PlannerState.TRAJECTORY_FOUND,
                   PlannerState.ALL_TRAJECTORIES_FAIL)).astype(jnp.int32)
-    vx = jnp.where(prune_ok, vx, 0.0)
-    wz = jnp.where(prune_ok, wz, 0.0)
 
-    return VelocityCommand(vx=vx, wz=wz, state=state, best_index=idx,
+    return VelocityCommand(vx=vx, wz=wz, vy=vy, state=state, best_index=idx,
                            best_cost=cost, prune=pp, rollouts=r,
                            costs=costs, rejected=rejected)

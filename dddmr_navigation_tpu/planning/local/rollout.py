@@ -27,7 +27,7 @@ from dddmr_navigation_tpu.geometry import quat_rotate, quat_multiply, quat_from_
 
 class Rollouts(NamedTuple):
     """Batched rollout results. S = samples, N = MAX_STEPS."""
-    samples: jnp.ndarray      # (S, 2) [vx, ω]
+    samples: jnp.ndarray      # (S, 2) [vx, ω] or (S, 3) [vx, vy, ω]
     valid: jnp.ndarray        # (S,) trajectory validity
     step_valid: jnp.ndarray   # (S, N) per-step validity
     positions: jnp.ndarray    # (S, N, 3) global positions
@@ -46,15 +46,19 @@ def rollout(samples, sample_valid, robot_pos, robot_quat, *,
     """Roll out all velocity samples.
 
     Args:
-      samples: (S, 2) [vx, ω].
+      samples: (S, 2) [vx, ω] (diff-drive) or (S, 3) [vx, vy, ω] (omni —
+        `OmniSimpleTrajectoryGeneratorTheory`, validity gates on
+        vmag = hypot(vx, vy) per `omni_simple_...cpp:494-510`).
       sample_valid: (S,) bool.
       robot_pos/quat: robot pose in global frame.
       sim_time_per_sample: optional (S,) horizon override (the rotate
         generator uses 6.28/|ω|, `dd_rotate_inplace_theory.cpp:330`).
     """
+    omni = samples.shape[1] == 3
     vx = samples[:, 0]
-    w = samples[:, 1]
-    vmag = jnp.abs(vx)
+    vy = samples[:, 1] if omni else jnp.zeros_like(vx)
+    w = samples[:, -1]
+    vmag = jnp.hypot(vx, vy) if omni else jnp.abs(vx)
     eps = 1e-4
 
     T = (jnp.full_like(vx, sim_time) if sim_time_per_sample is None
@@ -88,8 +92,12 @@ def rollout(samples, sample_valid, robot_pos, robot_quat, *,
     # f32 ulp level).
     j = jnp.arange(max_steps, dtype=jnp.float32)            # θ before step k
     th_pre = j[None, :] * (w * dt)[:, None]                  # (S, N)
-    xs = (vx * dt)[:, None] * jnp.cumsum(jnp.cos(th_pre), axis=1)
-    ys = (vx * dt)[:, None] * jnp.cumsum(jnp.sin(th_pre), axis=1)
+    cos_c = jnp.cumsum(jnp.cos(th_pre), axis=1)
+    sin_c = jnp.cumsum(jnp.sin(th_pre), axis=1)
+    # omni adds the lateral term (vy rotated +90°:
+    # `computeNewPositions`, `omni_simple_...cpp:499-505`)
+    xs = (vx * dt)[:, None] * cos_c - (vy * dt)[:, None] * sin_c
+    ys = (vx * dt)[:, None] * sin_c + (vy * dt)[:, None] * cos_c
     ths = (j[None, :] + 1.0) * (w * dt)[:, None]             # θ after step k
 
     local = jnp.stack([xs, ys, jnp.zeros_like(xs)], axis=-1)  # (S, N, 3)

@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from dddmr_navigation_tpu.config import (
-    DDSimpleGeneratorConfig, DDRotateInplaceConfig, TrajectoryGeneratorLimits)
+    DDSimpleGeneratorConfig, OmniSimpleGeneratorConfig, DDRotateInplaceConfig,
+    TrajectoryGeneratorLimits)
 
 
 def velocity_axis_samples(vmin, vmax, num_samples: int):
@@ -94,6 +95,64 @@ def dd_simple_samples(cfg: DDSimpleGeneratorConfig, v_now, w_now,
     mask = jnp.repeat(vx_mask, w_vals.shape[0]) & jnp.tile(w_mask, vx_vals.shape[0])
     mask = mask & motor_constraint_ok(lim, vx_g, w_g)
     return jnp.stack([vx_g, w_g], axis=-1), mask
+
+
+def _omni_axis_window(v_now, vmin_lim, vmax_lim, acc, sim_period, decel):
+    """One linear-axis dynamic window of the omni sampler
+    (`omni_simple_trajectory_generator_theory.cpp:283-309`): symmetric
+    ±acc·T around v_now, with the deceleration_ratio branch when the robot
+    rides a speed extreme."""
+    vmax = jnp.minimum(vmax_lim, v_now + acc * sim_period)
+    vmin = jnp.maximum(vmin_lim, v_now - acc * sim_period)
+    at_max = v_now >= vmax_lim / decel
+    at_min = v_now <= vmin_lim / decel
+    vmin = jnp.where(at_max, jnp.maximum(vmin_lim, v_now / decel), vmin)
+    vmax = jnp.where(~at_max & at_min,
+                     jnp.minimum(vmax_lim, v_now / decel), vmax)
+    return vmin, vmax
+
+
+def omni_simple_samples(cfg: OmniSimpleGeneratorConfig, v_now, vy_now, w_now):
+    """The (vx, vy, ω) sample grid for the current robot state
+    (`OmniSimpleTrajectoryGeneratorTheory::initialise`,
+    `omni_simple_trajectory_generator_theory.cpp:259-332`).
+
+    The reference's omni motor constraint is a stub returning true
+    (`:334-343`), so no RPM gate is applied.
+
+    Returns:
+      samples: (S, 3) f32 [vx, vy, ω], S = (nx+1)(ny+1)(nw+1) padded slots,
+        vx-major then vy then ω (reference loop order).
+      valid: (S,) bool.
+    """
+    lim = cfg.limits
+    sim_period = 1.0 / cfg.controller_frequency
+
+    min_vx, max_vx = _omni_axis_window(
+        v_now, lim.min_vel_x, lim.max_vel_x, lim.acc_lim_x, sim_period,
+        lim.deceleration_ratio)
+    min_vy, max_vy = _omni_axis_window(
+        vy_now, lim.min_vel_y, lim.max_vel_y, lim.acc_lim_y, sim_period,
+        lim.deceleration_ratio)
+    max_w = jnp.minimum(lim.max_vel_theta,
+                        w_now + lim.acc_lim_theta * sim_period)
+    min_w = jnp.maximum(-lim.max_vel_theta,
+                        w_now - lim.acc_lim_theta * sim_period)
+
+    vx_vals, vx_mask = velocity_axis_samples(min_vx, max_vx,
+                                             cfg.linear_x_sample)
+    vy_vals, vy_mask = velocity_axis_samples(min_vy, max_vy,
+                                             cfg.linear_y_sample)
+    w_vals, w_mask = velocity_axis_samples(min_w, max_w, cfg.angular_z_sample)
+
+    nx, ny, nw = vx_vals.shape[0], vy_vals.shape[0], w_vals.shape[0]
+    vx_g = jnp.repeat(vx_vals, ny * nw)
+    vy_g = jnp.tile(jnp.repeat(vy_vals, nw), nx)
+    w_g = jnp.tile(w_vals, nx * ny)
+    mask = (jnp.repeat(vx_mask, ny * nw)
+            & jnp.tile(jnp.repeat(vy_mask, nw), nx)
+            & jnp.tile(w_mask, nx * ny))
+    return jnp.stack([vx_g, vy_g, w_g], axis=-1), mask
 
 
 def rotate_inplace_samples(cfg: DDRotateInplaceConfig,

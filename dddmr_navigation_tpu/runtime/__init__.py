@@ -2,7 +2,8 @@
 (the "DDS role" around the jitted compute core)."""
 from dddmr_navigation_tpu.runtime.actions import (
     GoalStatus, GoalHandle, ActionServer, ActionClient, PeriodicTimer,
-    GetPlanGoal, GetPlanResult, PToPMoveBaseGoal, RecoveryGoal)
+    GetPlanGoal, GetPlanResult, PToPMoveBaseGoal, RecoveryGoal,
+    TagDockingGoal, TagDockingResult)
 from dddmr_navigation_tpu.runtime.watchdog import FreshnessGate, TickMonitor
 from dddmr_navigation_tpu.runtime.checkpoint import (
     save_pytree, restore_pytree, CheckpointManager)

@@ -56,6 +56,18 @@ class RecoveryGoal:
 
 
 @dataclass
+class TagDockingGoal:
+    """`TagDocking.action` goal: start the docking maneuver. The reference
+    ships only the contract (`action/TagDocking.action`), no server."""
+    start: bool = True
+
+
+@dataclass
+class TagDockingResult:
+    succeed: bool = False
+
+
+@dataclass
 class GoalHandle:
     """Server-side view of one in-flight goal."""
     goal: Any

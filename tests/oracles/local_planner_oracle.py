@@ -275,3 +275,67 @@ def compute_velocity_command_oracle(cfg, plan_pts, plan_quats, robot_pos,
     if best is None:
         return 0.0, 0.0, -1.0, costs
     return best[0], best[1], best_cost, costs
+
+
+def _omni_axis_window(v_now, vmin_lim, vmax_lim, acc, sim_period, decel):
+    vmax = min(vmax_lim, v_now + acc * sim_period)
+    vmin = max(vmin_lim, v_now - acc * sim_period)
+    if v_now >= vmax_lim / decel:
+        vmin = max(vmin_lim, v_now / decel)
+    elif v_now <= vmin_lim / decel:
+        vmax = min(vmax_lim, v_now / decel)
+    return vmin, vmax
+
+
+def omni_sample_list(gen, v_now, vy_now, w_now):
+    """Mirrors `OmniSimpleTrajectoryGeneratorTheory::initialise`
+    (`omni_simple_trajectory_generator_theory.cpp:259-332`); the omni motor
+    constraint is a stub returning true (`:334-343`)."""
+    lim = gen.limits
+    sim_period = 1.0 / gen.controller_frequency
+    min_vx, max_vx = _omni_axis_window(
+        v_now, lim.min_vel_x, lim.max_vel_x, lim.acc_lim_x, sim_period,
+        lim.deceleration_ratio)
+    min_vy, max_vy = _omni_axis_window(
+        vy_now, lim.min_vel_y, lim.max_vel_y, lim.acc_lim_y, sim_period,
+        lim.deceleration_ratio)
+    max_w = min(lim.max_vel_theta, w_now + lim.acc_lim_theta * sim_period)
+    min_w = max(-lim.max_vel_theta, w_now - lim.acc_lim_theta * sim_period)
+    out = []
+    for vx in velocity_iterator(min_vx, max_vx, gen.linear_x_sample):
+        for vy in velocity_iterator(min_vy, max_vy, gen.linear_y_sample):
+            for w in velocity_iterator(min_w, max_w, gen.angular_z_sample):
+                out.append((vx, vy, w))
+    return out
+
+
+def generate_trajectory_omni(gen, robot_pos, robot_quat, vx, vy, w,
+                             allowed_max_speed=-1.0):
+    """Mirrors `OmniSimpleTrajectoryGeneratorTheory::generateTrajectory`
+    (`omni_simple_...cpp:487-545`). Returns (poses, dt) or None."""
+    lim = gen.limits
+    vmag = math.hypot(vx, vy)
+    eps = 1e-4
+    if (lim.min_vel_trans >= 0 and vmag + eps < lim.min_vel_trans) and (
+            lim.min_vel_theta >= 0 and abs(w) + eps < lim.min_vel_theta):
+        return None
+    if lim.max_vel_trans >= 0 and vmag - eps > lim.max_vel_trans:
+        return None
+    if allowed_max_speed > 0.0 and vmag - eps > allowed_max_speed:
+        return None
+    num_steps = math.ceil(max(vmag * gen.sim_time / gen.sim_granularity,
+                              abs(w) * gen.sim_time / gen.angular_sim_granularity))
+    if num_steps == 0:
+        return None
+    dt = gen.sim_time / num_steps
+    rot = quat_to_mat(robot_quat)
+    poses = []
+    x = y = th = 0.0
+    half_pi = math.pi / 2.0
+    for _ in range(num_steps):
+        x += (vx * math.cos(th) + vy * math.cos(half_pi + th)) * dt
+        y += (vx * math.sin(th) + vy * math.sin(half_pi + th)) * dt
+        th += w * dt
+        p_global = rot @ np.array([x, y, 0.0]) + robot_pos
+        poses.append((p_global, th))
+    return poses, dt

@@ -129,3 +129,35 @@ def test_path_to_poses_interpolation(small_world):
     assert steps.max() < 0.45
     # quats normalized
     np.testing.assert_allclose(np.linalg.norm(quats, axis=1), 1.0, atol=1e-4)
+
+
+def test_post_smooth_path_shortcuts_straight_line():
+    """On open flat ground a straight run of nodes collapses to endpoints
+    (`postSmoothPath`, `global_planner.cpp:233-311`)."""
+    from dddmr_navigation_tpu.planning.global_.planner import post_smooth_path
+    xs = np.arange(0, 3.01, 0.25, dtype=np.float32)
+    # dense flat ground patch so interpolants always see >=2 ground points
+    gx, gy = np.meshgrid(np.arange(-0.5, 3.51, 0.2),
+                         np.arange(-0.6, 0.61, 0.2))
+    ground = np.stack([gx.ravel(), gy.ravel(),
+                       np.zeros(gx.size)], 1).astype(np.float32)
+    # path = the nodes nearest to the x axis
+    ids = [int(np.argmin(np.sum((ground - [x, 0, 0]) ** 2, 1))) for x in xs]
+    sm = post_smooth_path(ground, np.zeros((0, 3)), ids)
+    assert sm[0] == ids[0] and sm[-1] == ids[-1]
+    assert len(sm) < len(ids)  # interior shortcut happened
+
+
+def test_post_smooth_path_keeps_node_at_obstacle():
+    from dddmr_navigation_tpu.planning.global_.planner import post_smooth_path
+    gx, gy = np.meshgrid(np.arange(-0.5, 3.51, 0.2),
+                         np.arange(-0.6, 0.61, 0.2))
+    ground = np.stack([gx.ravel(), gy.ravel(),
+                       np.zeros(gx.size)], 1).astype(np.float32)
+    xs = np.arange(0, 3.01, 0.25, dtype=np.float32)
+    ids = [int(np.argmin(np.sum((ground - [x, 0, 0]) ** 2, 1))) for x in xs]
+    # obstacle cluster sitting on the segment midline
+    wall = np.array([[1.5, 0.0, 0.0], [1.5, 0.05, 0.0], [1.55, 0.0, 0.0]],
+                    np.float32)
+    sm = post_smooth_path(ground, wall, ids)
+    assert len(sm) > 2  # interior nodes kept near the obstacle

@@ -236,3 +236,138 @@ def test_goal_reached_and_heading():
         CFG, plan, jnp.asarray([0.0, 0.0, 0.0]), quat_from_yaw(jnp.float32(2.0)))
     assert bool(ok2) and not bool(aligned2)
     assert abs(float(yaw_dev2) + 2.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# omni-drive generator parity
+# ---------------------------------------------------------------------------
+
+OMNI = LocalPlannerConfig().omni_generator
+
+
+# windows whose zero crossing is not exactly on a sample point (f32 vs f64
+# rounding flips the VelocityIterator zero-insertion there — a documented
+# tie-break edge, SURVEY.md §7 "parity semantics")
+@pytest.mark.parametrize("v,vy,w", [
+    (0.0, 0.0, 0.0), (0.43, -0.21, 0.13), (1.0, 0.5, -0.31), (-0.3, 0.0, 0.5),
+])
+def test_omni_samples_match_oracle(v, vy, w):
+    from dddmr_navigation_tpu.planning.local.sampler import omni_simple_samples
+    got, mask = jax.jit(omni_simple_samples, static_argnums=0)(
+        OMNI, jnp.float32(v), jnp.float32(vy), jnp.float32(w))
+    got = np.asarray(got)[np.asarray(mask)]
+    want = np.array(oracle.omni_sample_list(OMNI, v, vy, w), np.float32)
+    # same multiset of (vx, vy, ω) triples (padded slots sorted differently)
+    got_sorted = got[np.lexsort(got.T)]
+    want_sorted = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)
+
+
+def test_omni_rollout_matches_oracle():
+    from dddmr_navigation_tpu.planning.local.sampler import omni_simple_samples
+    robot_pos = jnp.asarray([0.5, -0.2, 0.1])
+    robot_quat = quat_from_yaw(jnp.float32(0.7))
+    samples, valid = omni_simple_samples(
+        OMNI, jnp.float32(0.5), jnp.float32(0.2), jnp.float32(0.1))
+    r = rollout(samples, valid, robot_pos, robot_quat,
+                sim_time=OMNI.sim_time, sim_granularity=OMNI.sim_granularity,
+                angular_sim_granularity=OMNI.angular_sim_granularity,
+                min_vel_x=OMNI.limits.min_vel_trans,
+                min_vel_theta=OMNI.limits.min_vel_theta,
+                max_vel_x=OMNI.limits.max_vel_trans,
+                max_steps=OMNI.max_num_steps)
+    samples_np = np.asarray(samples)
+    checked = 0
+    for i in np.flatnonzero(np.asarray(valid))[:40]:
+        vx, vy, w = samples_np[i]
+        out = oracle.generate_trajectory_omni(
+            OMNI, np.asarray(robot_pos), np.asarray(robot_quat), vx, vy, w)
+        if out is None:
+            assert not bool(r.valid[i])
+            continue
+        poses, dt = out
+        assert bool(r.valid[i])
+        n = min(len(poses), OMNI.max_num_steps)
+        got = np.asarray(r.positions[i, :n])
+        want = np.stack([p for p, _ in poses[:n]])
+        np.testing.assert_allclose(got, want, atol=2e-4)
+        checked += 1
+    assert checked > 10
+
+
+def test_omni_tick_picks_lateral_dodge():
+    """With a wall dead ahead and free space laterally, the omni planner
+    must produce a command with nonzero vy capability (vy field populated)
+    and avoid collision."""
+    cfg = LocalPlannerConfig()
+    plan = make_global_plan(make_plan_line(), max_len=cfg.max_plan_len)
+    obs, obs_mask = pad_obstacles(
+        [[0.8, y, 0.25] for y in np.arange(-1.0, 1.01, 0.05)])
+    cmd = compute_velocity_command(
+        cfg, plan, jnp.zeros(3), quat_identity(), jnp.float32(0.3),
+        jnp.float32(0.0), obs, obs_mask, generator="omni_drive_simple",
+        vy_now=jnp.float32(0.0))
+    assert int(cmd.state) in (int(PlannerState.TRAJECTORY_FOUND),
+                              int(PlannerState.ALL_TRAJECTORIES_FAIL))
+    if int(cmd.state) == int(PlannerState.TRAJECTORY_FOUND):
+        # chosen rollout must be collision-free: its cost is finite & ≥ 0
+        assert float(cmd.best_cost) >= 0.0
+    assert cmd.vy.shape == ()
+
+
+def test_collision_min_max_critic():
+    """AABB variant (`collision_min_max_model.cpp:51-89`): obstacle inside
+    the swept footprint AABB rejects; distant obstacle passes; <5 points
+    short-circuits to 0."""
+    from dddmr_navigation_tpu.planning.local.critics import (
+        collision_min_max_scores)
+    from dddmr_navigation_tpu.planning.local.sampler import dd_simple_samples
+    samples, valid = dd_simple_samples(GEN, jnp.float32(0.3), jnp.float32(0.0),
+                                       jnp.float32(-1.0))
+    r = rollout(samples, valid, jnp.zeros(3), quat_identity(),
+                sim_time=GEN.sim_time, sim_granularity=GEN.sim_granularity,
+                angular_sim_granularity=GEN.angular_sim_granularity,
+                min_vel_x=GEN.limits.min_vel_x,
+                min_vel_theta=GEN.limits.min_vel_theta,
+                max_vel_x=GEN.limits.max_vel_x, max_steps=GEN.max_num_steps)
+
+    # wall dead ahead at x=0.5: every forward rollout's AABB crosses it
+    obs, mask = pad_obstacles([[0.5, y, 0.3] for y in
+                               np.arange(-0.5, 0.51, 0.1)])
+    s = collision_min_max_scores(r, GEN.cuboid, obs, mask)
+    fwd = np.asarray(r.valid) & (np.asarray(r.samples[:, 0]) > 0.2) \
+        & (np.abs(np.asarray(r.samples[:, -1])) < 0.1)
+    assert np.all(np.asarray(s)[fwd] == -1.0)
+
+    # distant obstacles: all pass
+    obs_far, mask_far = pad_obstacles([[50.0 + i, 50.0, 0.3]
+                                       for i in range(10)])
+    s_far = collision_min_max_scores(r, GEN.cuboid, obs_far, mask_far)
+    assert np.all(np.asarray(s_far) == 0.0)
+
+    # fewer than 5 points: no rejection even with a wall
+    obs4, mask4 = pad_obstacles([[0.5, 0.0, 0.3]] * 4)
+    s4 = collision_min_max_scores(r, GEN.cuboid, obs4, mask4)
+    assert np.all(np.asarray(s4) == 0.0)
+
+
+def test_collision_min_max_in_stack():
+    """Configured via CriticsConfig.collision_min_max, it rejects like the
+    oriented critic on an obvious wall."""
+    from dddmr_navigation_tpu.config import CriticsConfig, CriticConfig
+    cfg = LocalPlannerConfig(critics=CriticsConfig(
+        collision=None,
+        collision_min_max=CriticConfig(
+            plugin="mpc_critics::CollisionMinMaxModel", weight=1.0)))
+    plan = make_global_plan(make_plan_line(), max_len=cfg.max_plan_len)
+    obs, mask = pad_obstacles([[0.6, y, 0.3]
+                               for y in np.arange(-1.5, 1.51, 0.05)])
+    cmd = compute_velocity_command(
+        cfg, plan, jnp.zeros(3), quat_identity(), jnp.float32(0.3),
+        jnp.float32(0.0), obs, mask)
+    # every forward trajectory hits the wall; only slow/turning ones can
+    # survive, so either a trajectory is found with a low vx or all fail
+    if int(cmd.state) == int(PlannerState.TRAJECTORY_FOUND):
+        assert float(cmd.vx) <= 0.31
+    else:
+        assert int(cmd.state) == int(PlannerState.ALL_TRAJECTORIES_FAIL)
