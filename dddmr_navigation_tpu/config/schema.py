@@ -316,6 +316,9 @@ class MCLConfig:
     match_dist_flat: float = 0.05
     threshold_for_trusted_ground: int = 6
     radius_of_ground_search: float = 1.0
+    # feature preprocessing (`cbLeGoFeatureCloud`, `mcl_3dl.cpp:300-443`)
+    euc_cluster_distance: float = 0.8
+    euc_cluster_min_size: int = 3
     # TPU static shapes
     max_feature_points: int = 1024
 

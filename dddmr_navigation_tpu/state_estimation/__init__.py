@@ -14,3 +14,6 @@ from dddmr_navigation_tpu.state_estimation.submaps import (
     SubmapManager, transform_keyframe)
 from dddmr_navigation_tpu.state_estimation.odom3d import (
     Odom3DState, init_odom3d, odom3d_step, integrate_log)
+from dddmr_navigation_tpu.state_estimation.feature_weights import (
+    preprocess_features, sharp_feature_weights, voxel_downsample_flat,
+    label_clusters, knn_normals)

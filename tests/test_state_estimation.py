@@ -260,3 +260,85 @@ def test_odom3d_pitch_climbs():
     st2, _ = integrate_log(st, jnp.full((T,), 1.0),
                            jnp.broadcast_to(q, (T, 4)), jnp.full((T,), 0.1))
     assert float(st2.pos[2]) > 0.15  # sin(0.2) ≈ 0.199 per meter
+
+
+# ---------------------------------------------------------------------------
+# feature-weight preprocessing (`cbLeGoFeatureCloud`, mcl_3dl.cpp:300-443)
+# ---------------------------------------------------------------------------
+
+def _pad_pts(pts, n=256):
+    import numpy as np
+    out = np.zeros((n, 3), np.float32)
+    pts = np.asarray(pts, np.float32).reshape(-1, 3)
+    out[:len(pts)] = pts
+    mask = np.zeros((n,), bool)
+    mask[:len(pts)] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def test_voxel_downsample_flat_dedups_cells():
+    from dddmr_navigation_tpu.state_estimation import voxel_downsample_flat
+    pts = [[0.1, 0.1, 0.0], [0.2, 0.3, 0.05],    # same 1x1x0.1 voxel
+           [1.5, 0.1, 0.0],                       # different x cell
+           [0.1, 0.1, 0.25]]                      # different z cell
+    p, m = _pad_pts(pts)
+    _, keep = voxel_downsample_flat(p, m)
+    assert int(jnp.sum(keep)) == 3
+
+
+def test_sharp_weights_y_dominant_downweights_parallel_walls():
+    """Two long walls along x (normals in y) => y-dominant; wall points are
+    down-weighted, a lone x-normal cluster keeps weight 1."""
+    from dddmr_navigation_tpu.state_estimation import sharp_feature_weights
+    import numpy as np
+    cfg = MCLConfig()
+    xs = np.arange(0, 4, 0.1)
+    wall1 = np.stack([xs, np.zeros_like(xs), np.full_like(xs, 0.5)], 1)
+    wall2 = np.stack([xs, np.full_like(xs, 3.0), np.full_like(xs, 0.5)], 1)
+    # small plate facing x (normal in x): points spread in y-z at x=5
+    yy, zz = np.meshgrid(np.arange(0, 0.5, 0.1), np.arange(0, 0.5, 0.1))
+    plate = np.stack([np.full(yy.size, 5.0), yy.ravel(), zz.ravel()], 1)
+    pts, mask = _pad_pts(np.concatenate([wall1, wall2, plate]))
+    w, keep = sharp_feature_weights(cfg, pts, mask)
+    w = np.asarray(w); keep_np = np.asarray(keep)
+    n_wall = len(wall1) + len(wall2)
+    # wall features (y-normals, x2y < 0.5... actually y-dominant: x2y>=0.5
+    # triggers downweight for x-facing pts; wall pts keep 1.0)
+    assert np.all(w[:n_wall][keep_np[:n_wall]] <= 1.0)
+    # the plate's x-facing features get the 0.05 ratio weight
+    plate_w = w[n_wall:n_wall + len(plate)][keep_np[n_wall:n_wall + len(plate)]]
+    assert np.all(plate_w < 0.2)
+
+
+def test_sharp_weights_cluster_normalization():
+    """Mixed-normal scene (not dominant): weights = cluster_size/total."""
+    from dddmr_navigation_tpu.state_estimation import sharp_feature_weights
+    import numpy as np
+    cfg = MCLConfig()
+    rng = np.random.default_rng(3)
+    # two compact blobs with random orientation structure
+    blob1 = rng.normal([0, 0, 0.5], 0.2, (30, 3))
+    blob2 = rng.normal([5, 5, 0.5], 0.2, (10, 3))
+    pts, mask = _pad_pts(np.concatenate([blob1, blob2]))
+    w, keep = sharp_feature_weights(cfg, pts, mask)
+    w = np.asarray(w); keep_np = np.asarray(keep)
+    if bool(keep_np[:30].any()) and bool(keep_np[30:40].any()):
+        w1 = w[:30][keep_np[:30]].mean()
+        w2 = w[30:40][keep_np[30:40]].mean()
+        # cluster weights proportional to size when the cluster branch runs
+        if not np.isclose(w1, 1.0):
+            assert w1 > w2
+
+
+def test_preprocess_features_end_to_end():
+    from dddmr_navigation_tpu.state_estimation import preprocess_features
+    import numpy as np
+    cfg = MCLConfig()
+    rng = np.random.default_rng(0)
+    flat, fm = _pad_pts(rng.uniform(-3, 3, (60, 3)))
+    sharp, sm = _pad_pts(rng.uniform(-3, 3, (40, 3)))
+    f, fmask, s, smask, w = jax.jit(
+        preprocess_features, static_argnums=0)(cfg, flat, fm, sharp, sm)
+    assert f.shape == flat.shape and w.shape == (sharp.shape[0],)
+    assert int(jnp.sum(fmask)) <= int(jnp.sum(fm))
+    assert bool(jnp.all(w > 0))
