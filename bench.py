@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--obstacles", type=int, default=512)
     ap.add_argument("--linear-samples", type=int, default=16)
     ap.add_argument("--angular-samples", type=int, default=16)
+    ap.add_argument("--collision-backend", type=str, default="xla",
+                    choices=["xla", "auto", "pallas", "pallas_interpret"])
     args = ap.parse_args()
 
     import numpy as np
@@ -66,6 +68,7 @@ def main():
         max_obstacle_points=args.obstacles,
         collision_obstacle_chunk=16,
         collision_near_k=128,
+        collision_backend=args.collision_backend,
     )
     b = args.robots
     s_padded = cfg.generator.n_samples_padded

@@ -185,6 +185,9 @@ class LocalPlannerConfig:
     # nearest-K obstacle pre-prune for the collision critic (0 = off);
     # exact whenever ≤ K obstacles lie within the rollout sweep's reach
     collision_near_k: int = 0
+    # collision sweep backend: xla | auto (Pallas on TPU) |
+    # pallas | pallas_interpret (ops/collision.py)
+    collision_backend: str = "xla"
 
 
 @dataclass(frozen=True)

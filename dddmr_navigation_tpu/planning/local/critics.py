@@ -48,7 +48,8 @@ def _masked_sq_dists(a, a_mask, b, b_mask, big=1e12):
 
 
 def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid,
-                     obstacle_chunk: int = 256, near_k: int = 0):
+                     obstacle_chunk: int = 256, near_k: int = 0,
+                     backend: str = "xla"):
     """`CollisionModel::scoreTrajectory` (`collision_model.cpp:51-148`):
     -1 when any observed point falls inside the oriented footprint cuboid
     at any valid rollout step; 0 otherwise; 0 when fewer than 5 points.
@@ -100,6 +101,22 @@ def collision_scores(r: Rollouts, cuboid: CuboidConfig, obstacles, obs_valid,
     # Scanned over obstacle chunks so the (S,N,3,chunk) intermediate stays
     # bounded regardless of sample count.
     proj_c = jnp.einsum("snak,snk->sna", axes_g, center_g)       # (S,N,3)
+
+    if backend != "xla":
+        # Fused Pallas sweep (ops/collision.py): obstacle chunks stream
+        # through VMEM, the (S,N,3,M) projection tensor never hits HBM.
+        from dddmr_navigation_tpu.ops.collision import swept_box_hits
+        import numpy as _np
+        corners_np = _np.asarray(cuboid.corners(), _np.float32)
+        half_np = 0.5 * _np.asarray([
+            _np.linalg.norm(corners_np[3] - corners_np[0]),
+            _np.linalg.norm(corners_np[1] - corners_np[0]),
+            _np.linalg.norm(corners_np[2] - corners_np[0])])
+        hit = swept_box_hits(axes_g, proj_c, r.step_valid,
+                             obstacles - r.robot_pos, obs_valid, half_np,
+                             backend=backend)
+        return jnp.where(enough & hit, -1.0, 0.0)
+
     k_total = obstacles.shape[0]
     chunk = min(obstacle_chunk, k_total)
     n_chunks = -(-k_total // chunk)
@@ -254,7 +271,7 @@ def twirling_scores(r: Rollouts, weight: float):
 def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
                    plan: PrunePlan, obstacles, obs_valid,
                    heading_deviation=0.0, obstacle_chunk: int = 256,
-                   collision_near_k: int = 0):
+                   collision_near_k: int = 0, collision_backend: str = "xla"):
     """Run the configured critic stack; returns (costs, rejected).
 
     ``costs`` is the summed score for accepted rollouts; rejected rollouts
@@ -275,7 +292,8 @@ def score_rollouts(critics: CriticsConfig, cuboid: CuboidConfig, r: Rollouts,
     if critics.collision is not None:
         apply(collision_scores(r, cuboid, obstacles, obs_valid,
                                obstacle_chunk=obstacle_chunk,
-                               near_k=collision_near_k)
+                               near_k=collision_near_k,
+                               backend=collision_backend)
               * critics.collision.weight)
     if getattr(critics, "collision_min_max", None) is not None:
         apply(collision_min_max_scores(r, cuboid, obstacles, obs_valid,

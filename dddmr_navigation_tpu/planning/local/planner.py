@@ -255,7 +255,8 @@ def compute_velocity_command(cfg: LocalPlannerConfig, plan: GlobalPlan,
         critics, cuboid, r, pp, obstacles, obs_valid,
         heading_deviation=jnp.asarray(heading_deviation, jnp.float32),
         obstacle_chunk=cfg.collision_obstacle_chunk,
-        collision_near_k=cfg.collision_near_k)
+        collision_near_k=cfg.collision_near_k,
+        collision_backend=cfg.collision_backend)
     idx, cost, found = best_trajectory(costs, rejected)
 
     found_ok = found & prune_ok
