@@ -82,7 +82,7 @@ def sharded_fleet_tick(cfg: LocalPlannerConfig, mesh: Mesh,
     non-rejected robots) — the cross-chip `psum` exercising ICI, the
     analogue of the reference's central move-base monitoring.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def tick(plans, state, obstacles, obs_valid):
         out_vx, out_wz, codes, costs = fleet_tick(
@@ -100,7 +100,7 @@ def sharded_fleet_tick(cfg: LocalPlannerConfig, mesh: Mesh,
         tick, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec, rep),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 

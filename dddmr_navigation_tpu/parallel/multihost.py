@@ -86,7 +86,7 @@ def sharded_fleet_tick_multihost(cfg, mesh: Mesh):
     commands stay sharded; the fleet-health scalar is a hierarchical
     psum (ici then dcn) — ≥80% scaling needs the big reduction on ICI.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from dddmr_navigation_tpu.parallel.fleet import fleet_tick
 
     def tick(plans, state, obstacles, obs_valid):
@@ -104,7 +104,7 @@ def sharded_fleet_tick_multihost(cfg, mesh: Mesh):
         tick, mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec, P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 

@@ -73,6 +73,28 @@ class MarkingParams(NamedTuple):
     clear_range_margin: float = 0.05   # reference: last-5cm ray tolerance
     reobserve_margin: float = 0.10     # reference: resolution-radius re-obs test
 
+    @classmethod
+    def from_config(cls, pcfg) -> "MarkingParams":
+        """Build from a :class:`PerceptionConfig` — the single source of
+        truth for the reference YAML names (lidar FOV/marking keys +
+        GlobalUtils inflation block). Prefer this over the bare defaults,
+        which exist only for standalone kernel tests."""
+        lidar = pcfg.lidar
+        return cls(
+            vertical_FOV_top=lidar.vertical_FOV_top,
+            vertical_FOV_bottom=lidar.vertical_FOV_bottom,
+            scan_effective_positive_start=lidar.scan_effective_positive_start,
+            scan_effective_positive_end=lidar.scan_effective_positive_end,
+            scan_effective_negative_start=lidar.scan_effective_negative_start,
+            scan_effective_negative_end=lidar.scan_effective_negative_end,
+            marking_height=lidar.marking_height,
+            segmentation_ignore_ratio=lidar.segmentation_ignore_ratio,
+            max_marked_voxels=pcfg.max_marked_voxels,
+            inflation_radius=pcfg.inflation_radius,
+            inscribed_radius=pcfg.inscribed_radius,
+            max_obstacle_distance=pcfg.max_obstacle_distance,
+        )
+
 
 class MarkingState(NamedTuple):
     """Per-robot dynamic perception state (device pytree)."""

@@ -132,11 +132,17 @@ def post_smooth_path(ground: np.ndarray, map_pts: np.ndarray, path_ids,
         d2g = np.sum((cand[:, None, :] - ground[None, :, :]) ** 2, -1)
         near_g = np.sum(d2g <= 1.0, axis=1)
         keep |= bool(np.any(near_g < 2))
-        # (c) z jump / (d) overlong reach
+        # (c) z jump / (d) overlong reach. Reference quirk preserved
+        # (`global_planner.cpp:294`): asin(dz/dxy) is computed UNclamped,
+        # so dz > dxy yields NaN and `NaN > 0.349` is false — such segments
+        # do NOT trigger the keep. We reproduce that by gating on
+        # dz <= dxy instead of clamping.
         dxy = steps * np.hypot(v[0], v[1])
         dz = steps * abs(v[2])
         with np.errstate(divide="ignore", invalid="ignore"):
-            ang = np.arcsin(np.clip(dz / np.maximum(dxy, 1e-9), 0.0, 1.0))
+            ratio = dz / np.maximum(dxy, 1e-9)
+            ang = np.where(ratio <= 1.0, np.arcsin(np.minimum(ratio, 1.0)),
+                           np.nan)
         keep |= bool(np.any((dxy > 0.5) & (ang > 0.349)))
         keep |= bool(np.any(dxy > 20.0))
         if keep:

@@ -55,7 +55,13 @@ def voxel_downsample_flat(pts, mask, leaf=(1.0, 1.0, 0.1)):
 def knn_normals(pts, mask, k: int = 5):
     """Masked kNN PCA normals (the reference's pcl::NormalEstimation with
     setKSearch(5)). Returns (P, 3) unit normals (undefined rows where the
-    mask is false)."""
+    mask is false).
+
+    Normals are oriented toward the sensor origin (PCL's default
+    ``flipNormalTowardsViewpoint`` with viewpoint (0,0,0)), which makes the
+    *signed* normal components deterministic — the reference's dominance
+    reweighting uses the signed ratio normal_y/normal_x
+    (`mcl_3dl.cpp:377-398`), so orientation must match PCL's."""
     p = pts.shape[0]
     d = pts[:, None, :] - pts[None, :, :]
     d2 = jnp.sum(d * d, axis=-1)
@@ -68,11 +74,18 @@ def knn_normals(pts, mask, k: int = 5):
     # smallest-eigenvector via eigh (P tiny: ≤ a few hundred)
     _, vecs = jnp.linalg.eigh(cov)
     n = vecs[:, :, 0]
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    # flipNormalTowardsViewpoint(p, 0,0,0, n): flip when dot(vp - p, n) < 0.
+    flip = jnp.sum(-pts * n, axis=-1) < 0.0
+    return jnp.where(flip[:, None], -n, n)
 
 
-def label_clusters(pts, mask, tol: float, iters: int = 32):
-    """ε-graph connected components by min-label propagation.
+def label_clusters(pts, mask, tol: float, iters: int = 16):
+    """ε-graph connected components by min-label propagation with
+    pointer doubling: each iteration takes the neighbor minimum, then
+    jumps ``lbl = lbl[lbl]``, so an ε-chain of length L converges in
+    O(log L) iterations rather than O(L) — 16 iterations cover chains
+    far beyond any max_feature_points padding.
     Returns int32 labels (P,), invalid points labeled P."""
     p = pts.shape[0]
     d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
@@ -82,7 +95,10 @@ def label_clusters(pts, mask, tol: float, iters: int = 32):
     def body(_, lbl):
         # neighbor minimum (adjacency includes self)
         nb = jnp.where(adj, lbl[None, :], p)
-        return jnp.minimum(lbl, jnp.min(nb, axis=1))
+        lbl = jnp.minimum(lbl, jnp.min(nb, axis=1))
+        # pointer doubling (guard the invalid sentinel p from the gather)
+        jumped = lbl[jnp.minimum(lbl, p - 1)]
+        return jnp.where(lbl < p, jnp.minimum(lbl, jumped), lbl)
 
     return jax.lax.fori_loop(0, iters, body, labels)
 
@@ -93,17 +109,22 @@ def sharp_feature_weights(cfg: MCLConfig, pts, mask):
     Returns (weights (P,) f32, keep_mask (P,) bool)."""
     p = pts.shape[0]
     normals = knn_normals(pts, mask, k=5)
-    nx = jnp.abs(normals[:, 0])
-    ny = jnp.abs(normals[:, 1])
-    sum_x = jnp.sum(jnp.where(mask, nx, 0.0))
-    sum_y = jnp.sum(jnp.where(mask, ny, 0.0))
+    nx_s = normals[:, 0]
+    ny_s = normals[:, 1]
+    sum_x = jnp.sum(jnp.where(mask, jnp.abs(nx_s), 0.0))
+    sum_y = jnp.sum(jnp.where(mask, jnp.abs(ny_s), 0.0))
     eps = 1e-9
     x_dom = sum_x / jnp.maximum(sum_y, eps) >= 1.6
     y_dom = sum_y / jnp.maximum(sum_x, eps) >= 1.6
 
     # --- dominant branch: down-weight wall-parallel features -------------
-    y2x = ny / jnp.maximum(nx, eps)
-    x2y = nx / jnp.maximum(ny, eps)
+    # SIGNED ratios, like the reference (`mcl_3dl.cpp:377-398` divides the
+    # raw normal components); determinism comes from the viewpoint-oriented
+    # normals in knn_normals. A tiny-|nx| denominator yields ±big, matching
+    # the reference's IEEE ±inf comparisons against 0.5.
+    safe = lambda d: jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    y2x = ny_s / safe(nx_s)
+    x2y = nx_s / safe(ny_s)
     w_xdom = jnp.where(y2x >= 0.5, 0.05 * sum_y / jnp.maximum(sum_x, eps), 1.0)
     w_ydom = jnp.where(x2y >= 0.5, 0.05 * sum_x / jnp.maximum(sum_y, eps), 1.0)
     w_dom = jnp.where(x_dom, w_xdom, w_ydom)

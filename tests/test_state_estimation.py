@@ -295,17 +295,26 @@ def test_sharp_weights_y_dominant_downweights_parallel_walls():
     xs = np.arange(0, 4, 0.1)
     wall1 = np.stack([xs, np.zeros_like(xs), np.full_like(xs, 0.5)], 1)
     wall2 = np.stack([xs, np.full_like(xs, 3.0), np.full_like(xs, 0.5)], 1)
-    # small plate facing x (normal in x): points spread in y-z at x=5
-    yy, zz = np.meshgrid(np.arange(0, 0.5, 0.1), np.arange(0, 0.5, 0.1))
-    plate = np.stack([np.full(yy.size, 5.0), yy.ravel(), zz.ravel()], 1)
+    # Small tilted plate at x=5 whose viewpoint-oriented normal is
+    # ≈ -(1, 0.6, 0)/|.| — the SIGNED x2y ratio (reference
+    # `mcl_3dl.cpp:377-398` divides raw components) is then
+    # deterministically ≈ 1/0.6 ≥ 0.5. An exactly axis-facing plate would
+    # have sign-noise in the denominator — the same noise the reference
+    # has, so the parity test avoids it.
+    n = np.array([1.0, 0.6, 0.0]); n /= np.linalg.norm(n)
+    u = np.array([0.6, -1.0, 0.0]); u /= np.linalg.norm(u)
+    v = np.array([0.0, 0.0, 1.0])
+    aa, bb = np.meshgrid(np.arange(0, 0.5, 0.1), np.arange(0, 0.5, 0.1))
+    plate = (np.array([5.0, 0.0, 0.0])[None, :]
+             + aa.ravel()[:, None] * u[None, :]
+             + bb.ravel()[:, None] * v[None, :])
     pts, mask = _pad_pts(np.concatenate([wall1, wall2, plate]))
     w, keep = sharp_feature_weights(cfg, pts, mask)
     w = np.asarray(w); keep_np = np.asarray(keep)
     n_wall = len(wall1) + len(wall2)
-    # wall features (y-normals, x2y < 0.5... actually y-dominant: x2y>=0.5
-    # triggers downweight for x-facing pts; wall pts keep 1.0)
+    # wall features (y-normals, |x2y| small < 0.5) keep weight 1.0
     assert np.all(w[:n_wall][keep_np[:n_wall]] <= 1.0)
-    # the plate's x-facing features get the 0.05 ratio weight
+    # the plate's off-axis features get the 0.05 ratio weight
     plate_w = w[n_wall:n_wall + len(plate)][keep_np[n_wall:n_wall + len(plate)]]
     assert np.all(plate_w < 0.2)
 
