@@ -1,0 +1,119 @@
+"""Parity against the reference's REAL bundled assets (VERDICT r1 item 1).
+
+Loads `/root/reference/src/dddmr_perception_3d/map/{ground,map}.pcd` and the
+canonical `p2p_move_base_localization.yaml`, builds the ground graph +
+static weights on the real 124 m slope map, plans real start→goal pairs,
+and runs full local-planner tick sequences comparing cmd_vel against the
+C++-math NumPy oracle. Matches BASELINE.md's "behavior parity ... on
+recorded 3D maps" row; reference call sites: `global_planner.cpp:512-544`,
+`local_planner.cpp:482-621`.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tools import parity_reference as pr
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not pr.assets_available(),
+                       reason="reference assets not mounted"),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return pr.load_context()
+
+
+def test_canonical_yaml_ingestion(ctx):
+    """The real 347-line YAML parses into the typed config with the
+    documented deployment values (spot checks across subsystems)."""
+    cfg = ctx.cfg
+    assert cfg.global_planner.a_star_expanding_radius == 0.5
+    assert cfg.global_planner.turning_weight == pytest.approx(0.1)
+    assert cfg.perception.inscribed_radius == 0.5
+    assert cfg.perception.inflation_descending_rate == 2.0
+    gen = cfg.local_planner.generator
+    assert gen.sim_time == 2.0
+    assert gen.linear_x_sample == 5
+    assert gen.angular_z_sample == 10
+    assert gen.limits.max_vel_x == 1.0
+    assert gen.limits.min_vel_x == pytest.approx(0.1)
+    assert gen.limits.wheel_diameter == pytest.approx(0.16)
+    assert gen.cuboid.flb == (0.42, 0.36, 0.0)
+    assert gen.cuboid.brt == (-0.35, -0.36, 0.6)
+    crit = cfg.local_planner.critics
+    assert crit.stick_path.weight == pytest.approx(0.1)
+    assert crit.pure_pursuit.orientation_weight == pytest.approx(0.01)
+
+
+def test_real_map_shapes(ctx):
+    assert len(ctx.ground) == 27045      # ground.pcd POINTS
+    assert len(ctx.map_pts) == 62445     # map.pcd POINTS
+    assert len(ctx.main_cc) > 25000      # one dominant walkable component
+    # The real map is a ~3 m wide outdoor strip: every node is within the
+    # 1.0 m boundary-ring radius of an edge, so weights are all punished
+    # (>1) with a spread toward the rims, plus a small orphan set (1000).
+    w = ctx.node_weight
+    assert np.all(w >= 1.0)
+    assert (w >= 1000.0).sum() > 50                     # orphan islands
+    inl = w[w < 1000.0]
+    assert np.percentile(inl, 95) > np.percentile(inl, 5) + 2.0
+
+
+def test_global_field_parity_real_map(ctx):
+    """Wavefront relaxation == Dijkstra oracle on the real graph, with the
+    real static weights and overhang lethals active."""
+    pairs = pr.pick_start_goal_pairs(ctx, 2, seed=0)
+    assert pairs
+    for _, goal in pairs:
+        r = pr.global_field_parity(ctx, goal)
+        assert r["same_support"]
+        assert r["reachable"] > 15000
+        assert r["max_abs_diff"] < 1e-3
+
+
+def test_global_field_parity_with_dynamic_obstacle(ctx):
+    """Same parity with a non-trivial dynamic dGraph: an obstacle marked on
+    the map min-composed with the static field (`stacked_perception.cpp:
+    114-126` semantics) — the field reroutes and still matches the oracle."""
+    (start, goal) = pr.pick_start_goal_pairs(ctx, 1, seed=1)[0]
+    mid = ctx.ground[(ctx.ground[:, 0] > ctx.ground[start, 0] - 1.0)
+                     & (ctx.ground[:, 0] < ctx.ground[start, 0] + 1.0)]
+    obstacle = mid[0] + np.array([0, 0, 0.5], np.float32)
+    dyn = np.linalg.norm(
+        (ctx.ground[:, :2] - obstacle[None, :2]), axis=1).astype(np.float32)
+    dyn = np.where(dyn <= ctx.cfg.perception.inflation_radius, dyn,
+                   ctx.cfg.perception.max_obstacle_distance)
+    dgraph = np.minimum(ctx.static_dgraph, dyn)
+    r = pr.global_field_parity(ctx, goal, dgraph=dgraph)
+    assert r["same_support"]
+    assert r["max_abs_diff"] < 1e-3
+
+
+def test_plan_and_cmdvel_parity_real_map(ctx):
+    """Full vertical on real assets: plan on the real map, then tick the
+    local planner along the real path with real map-cloud obstacles,
+    asserting cmd_vel parity with the oracle at every tick."""
+    pairs = pr.pick_start_goal_pairs(ctx, 3, seed=0)
+    ticks_checked = 0
+    for start, goal in pairs:
+        pq = pr.plan_real_path(ctx, start, goal)
+        if pq is None:
+            continue
+        positions, quats = pq
+        assert len(positions) >= 10
+        # plan poses hug the ground cloud (interpolation stays on segments)
+        d0 = np.linalg.norm(ctx.ground[start] - positions[0])
+        assert d0 < 0.75
+        rows = pr.cmdvel_parity(ctx, positions, quats, n_ticks=5,
+                                n_obstacles=48)
+        for r in rows:
+            assert r["found"], r
+            assert r["d_vx"] < 1e-4, r
+            assert r["d_wz"] < 1e-4, r
+            assert r["d_cost"] < 1e-3, r
+        ticks_checked += len(rows)
+    assert ticks_checked >= 8, "too few parity ticks executed"
