@@ -257,6 +257,9 @@ class GlobalPlannerConfig:
     max_path_len: int = 512        # padded node-path length
     max_relax_iters: int = 1024    # wavefront relaxation bound
     interpolation_step: float = 0.05  # getROSPath pose interpolation
+    max_long_edges: int = 4096     # LOS-verified long-edge budget
+    los_samples: int = 32          # per-edge LOS sample count
+    max_lethal_points: int = 2048  # aggregated lethal cloud padding
 
 
 @dataclass(frozen=True)

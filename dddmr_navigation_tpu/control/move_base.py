@@ -2,11 +2,13 @@
 
 Host-side orchestration (the reference's `P2PMoveBase` node +
 `P2PGlobalPlanManager`, `p2p_move_base.cpp` / `p2p_global_plan_manager.cpp`)
-around the jitted device kernels: global-plan queries at
-`global_plan_query_frequency`, the FSM step, local-planner ticks with the
-generator the FSM selects, and recovery sub-behavior. Everything
-device-side is batched/jitted; this class is the "DDS role" — thin
-sequencing + wall-clock.
+around the jitted device kernels: global-plan queries through a
+:class:`SyncPlanManager`/:class:`AsyncPlanManager` (DWA windowed replans
+included), the FSM step, local-planner ticks with the generator the FSM
+selects, recovery sub-behavior, and the host failure gates
+(sensor freshness ⇒ PERCEPTION_MALFUNCTION, TF age ⇒ TF_FAIL —
+`local_planner.cpp:482-524`). Everything device-side is batched/jitted;
+this class is the "DDS role" — thin sequencing + wall-clock.
 """
 from __future__ import annotations
 
@@ -22,9 +24,10 @@ from dddmr_navigation_tpu.geometry import quat_from_yaw, yaw_from_quat
 from dddmr_navigation_tpu.planning.local.planner import (
     GlobalPlan, make_global_plan, compute_velocity_command, goal_reached,
     initial_heading_deviation, goal_heading_deviation, PlannerState)
-from dddmr_navigation_tpu.planning.global_.graph import build_ground_graph
-from dddmr_navigation_tpu.planning.global_.planner import (
-    plan_on_graph, path_to_poses)
+from dddmr_navigation_tpu.planning.global_.runtime import GlobalPlannerRuntime
+from dddmr_navigation_tpu.planning.global_.dwa import DWAGlobalPlanManager
+from dddmr_navigation_tpu.control.plan_manager import (
+    SyncPlanManager, AsyncPlanManager)
 from dddmr_navigation_tpu.perception.layers import path_blocked
 from dddmr_navigation_tpu.control.fsm import (
     Decision, CmdSource, FSMInputs, init_fsm_state, fsm_step)
@@ -36,21 +39,26 @@ class MoveBaseDriver:
     """One robot's navigation session over a loaded map."""
 
     def __init__(self, cfg: NavigationConfig, ground: np.ndarray,
-                 node_weight: Optional[np.ndarray] = None):
+                 node_weight: Optional[np.ndarray] = None,
+                 intensity: Optional[np.ndarray] = None,
+                 threaded_plan_manager: bool = False,
+                 runtime: Optional[GlobalPlannerRuntime] = None):
         self.cfg = cfg
-        self.ground = np.asarray(ground, np.float32)
+        self.runtime = runtime or GlobalPlannerRuntime(
+            cfg, ground, node_weight, intensity)
+        self.ground = self.runtime.ground
+        self.graph = self.runtime.graph
         g = len(self.ground)
-        self.node_weight = (np.zeros(g, np.float32) if node_weight is None
-                            else node_weight)
-        self.graph = build_ground_graph(
-            self.ground, radius=cfg.global_planner.a_star_expanding_radius,
-            k_max=cfg.perception.static_layer.max_ground_neighbors)
         self.dgraph = jnp.full((g,), cfg.perception.max_obstacle_distance)
+        self.lethal_pts = None
+        self.lethal_valid = None
 
-        self._jit_plan = jax.jit(partial(
-            plan_on_graph, cfg.global_planner,
-            inscribed_radius=cfg.perception.inscribed_radius,
-            inflation_descending_rate=cfg.perception.inflation_descending_rate))
+        dwa = DWAGlobalPlanManager(self.runtime, cfg.dwa_global_planner)
+        manager_cls = (AsyncPlanManager if threaded_plan_manager
+                       else SyncPlanManager)
+        self.plan_manager = manager_cls(
+            dwa, cfg.move_base.global_plan_query_frequency)
+
         self._jit_cmd = jax.jit(compute_velocity_command,
                                 static_argnums=(0, 10))
         self._jit_fsm = jax.jit(fsm_step, static_argnums=(0,))
@@ -60,43 +68,69 @@ class MoveBaseDriver:
 
         self.fsm = init_fsm_state()
         self.plan: Optional[GlobalPlan] = None
-        self.pending_plan = None
         self.goal = None
         self.recovery = None
         self.recovery_succeed = False
-        self.last_query_t = -1e9
 
-    def set_goal(self, goal_pos, now=0.0):
+    def set_goal(self, goal_pos, now=0.0, goal_quat=None):
         self.goal = jnp.asarray(goal_pos, jnp.float32)
+        if goal_quat is None:
+            goal_quat = np.asarray([0.0, 0.0, 0.0, 1.0], np.float32)
         self.fsm = init_fsm_state(now)
         self.plan = None
         self.recovery = None
+        self.plan_manager.set_goal(np.asarray(goal_pos, np.float32),
+                                   np.asarray(goal_quat, np.float32))
 
     def set_dgraph(self, dgraph):
         self.dgraph = jnp.asarray(dgraph)
 
-    def _query_plan(self, robot_pos):
-        res = self._jit_plan(
-            jnp.asarray(self.graph.nbr_idx), jnp.asarray(self.graph.nbr_dist),
-            jnp.asarray(self.graph.nbr_valid), jnp.asarray(self.ground),
-            jnp.ones(len(self.ground), bool), self.dgraph,
-            jnp.asarray(self.node_weight),
-            jnp.asarray(self.graph.avg_intensity),
-            jnp.asarray(robot_pos), self.goal)
-        if bool(res.ok):
-            pos, quats = path_to_poses(self.cfg.global_planner, self.ground,
-                                       res)
-            if len(pos) >= 1:
-                n = min(len(pos), self.cfg.local_planner.max_plan_len)
-                return make_global_plan(pos[:n], quats[:n],
-                                        max_len=self.cfg.local_planner.max_plan_len)
-        return "empty"
+    def set_lethal(self, lethal_pts, lethal_valid):
+        """Aggregated lethal cloud for the planner's long-edge LOS check
+        (`stacked_perception.cpp:142-155` → `a_star_on_pc.cpp:168-198`)."""
+        self.lethal_pts = None if lethal_pts is None else jnp.asarray(lethal_pts)
+        self.lethal_valid = (None if lethal_valid is None
+                             else jnp.asarray(lethal_valid))
 
-    def tick(self, robot_pos, robot_quat, v, w, obstacles, obs_valid, now):
-        """One controller cycle. Returns (vx, wz, decision, done, succeeded)."""
+    def _gate_tick(self, code: int, now: float):
+        """Feed the FSM a host-gate PlannerState (zero velocity, stay) —
+        the reference's early returns at `local_planner.cpp:482-524` with
+        `p2p_move_base.cpp:495-503` zero-velocity handling."""
+        x = FSMInputs(
+            now=jnp.asarray(now, jnp.float32),
+            robot_pos=jnp.zeros((3,), jnp.float32),
+            robot_yaw=jnp.asarray(0.0, jnp.float32),
+            has_new_plan=jnp.asarray(False), plan_empty=jnp.asarray(False),
+            goal_reached=jnp.asarray(False),
+            initial_heading_aligned=jnp.asarray(False),
+            goal_heading_aligned=jnp.asarray(False),
+            ps_simple=jnp.asarray(code, jnp.int32),
+            ps_rotate=jnp.asarray(code, jnp.int32),
+            recovery_active=jnp.asarray(self.recovery is not None),
+            recovery_succeed=jnp.asarray(self.recovery_succeed))
+        self.fsm, out = self._jit_fsm(self.cfg.move_base, self.fsm, x)
+        return (0.0, 0.0, Decision(int(self.fsm.decision)), bool(out.done),
+                bool(out.succeeded))
+
+    def tick(self, robot_pos, robot_quat, v, w, obstacles, obs_valid, now,
+             sensor_ok: bool = True, tf_ok: bool = True):
+        """One controller cycle. Returns (vx, wz, decision, done, succeeded).
+
+        ``sensor_ok``/``tf_ok`` are the host freshness gates
+        (`StackedPerception::isSensorOK` / TF-age ≤ 2 s); when either
+        fails the base is not commanded, matching the reference's
+        safety behavior.
+        """
         lcfg = self.cfg.local_planner
         robot_pos = jnp.asarray(robot_pos, jnp.float32)
         robot_quat = jnp.asarray(robot_quat, jnp.float32)
+
+        # --- host failure gates (`local_planner.cpp:482-524`) ---
+        if not tf_ok:
+            return self._gate_tick(int(PlannerState.TF_FAIL), now)
+        if not sensor_ok:
+            return self._gate_tick(int(PlannerState.PERCEPTION_MALFUNCTION),
+                                   now)
 
         # --- recovery sub-loop preempts everything ---
         if self.recovery is not None:
@@ -110,22 +144,25 @@ class MoveBaseDriver:
                 self.recovery = rec
             return 0.0, float(wz), Decision(int(self.fsm.decision)), False, False
 
-        # --- global plan manager (`p2p_global_plan_manager.cpp:108-132`) ---
+        # --- global plan manager (sync or threaded) ---
         has_new_plan = False
         plan_empty = False
         if (self.goal is not None
                 and int(self.fsm.decision) in (Decision.D_PLANNING_WAITDONE,
                                                Decision.D_CONTROLLING,
-                                               Decision.D_WAITING)
-                and now - self.last_query_t
-                >= 1.0 / self.cfg.move_base.global_plan_query_frequency):
-            self.last_query_t = now
-            result = self._query_plan(np.asarray(robot_pos))
-            if result == "empty":
-                has_new_plan, plan_empty = True, True
-            else:
-                self.plan = result
+                                               Decision.D_WAITING)):
+            self.plan_manager.offer(
+                np.asarray(robot_pos), self.dgraph, now,
+                lethal_pts=self.lethal_pts, lethal_valid=self.lethal_valid)
+            result = self.plan_manager.take_plan()
+            if result is not None:
+                n = min(len(result.positions), lcfg.max_plan_len)
+                self.plan = make_global_plan(result.positions[:n],
+                                             result.quats[:n],
+                                             max_len=lcfg.max_plan_len)
                 has_new_plan = True
+            elif self.plan_manager.last_query_empty():
+                has_new_plan, plan_empty = True, True
 
         plan = self.plan
         if plan is None:
@@ -189,5 +226,10 @@ class MoveBaseDriver:
             vx, wz = float(cmd_rotate.vx), float(cmd_rotate.wz)
         else:
             vx, wz = 0.0, 0.0
-        return vx, wz, Decision(int(self.fsm.decision)), bool(out.done), bool(
+        done = bool(out.done)
+        if done:
+            # goal finished/aborted: stop the query thread + DWA recompute
+            # (`p2p_move_base.cpp` calls GPM_->stop()).
+            self.plan_manager.stop()
+        return vx, wz, Decision(int(self.fsm.decision)), done, bool(
             out.succeeded)

@@ -10,6 +10,8 @@ in the host driver (or a `lax.while_loop` for fully-on-device fleets).
 """
 from __future__ import annotations
 
+import dataclasses
+
 import enum
 from typing import NamedTuple
 
@@ -64,7 +66,8 @@ def rotate_recovery_step(cfg: LocalPlannerConfig, rec: RotateRecoveryState,
         intensity=jnp.zeros((p,)), valid=jnp.zeros((p,), bool),
         count=jnp.asarray(0, jnp.int32))
     costs, rejected = score_rollouts(
-        cfg.rotate_critics._replace(shortest_angle=None), gen.cuboid, r,
+        dataclasses.replace(cfg.rotate_critics, shortest_angle=None),
+        gen.cuboid, r,
         empty_plan, obstacles, obs_valid,
         obstacle_chunk=cfg.collision_obstacle_chunk,
         collision_near_k=cfg.collision_near_k)

@@ -39,11 +39,26 @@ def snap_to_ground(ground, ground_valid, pos, radius: float = 0.5):
 def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
                   ground, ground_valid, dgraph, node_weight, avg_intensity,
                   start_pos, goal_pos, *, inscribed_radius: float,
-                  inflation_descending_rate: float) -> GlobalPathResult:
+                  inflation_descending_rate: float,
+                  lethal_pts=None, lethal_valid=None) -> GlobalPathResult:
     """Full jittable plan: snap → relax → extract. Reusable distance field
-    comes back for DWA look-ahead replanning."""
+    comes back for DWA look-ahead replanning.
+
+    When a lethal cloud is given, long edges (≥ 2×inscribed — the kNN
+    orphan-fallback jumps) are line-of-sight verified against it first
+    (`a_star_on_pc.cpp:168-198` semantics), so sparse-graph shortcuts
+    cannot tunnel through thin lethal walls."""
+    from dddmr_navigation_tpu.planning.global_.los import long_edge_los_mask
+
     start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
     goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
+
+    if lethal_pts is not None:
+        los = long_edge_los_mask(
+            graph_idx, graph_dist, graph_valid, ground, lethal_pts,
+            lethal_valid, inscribed_radius=inscribed_radius,
+            max_long_edges=cfg.max_long_edges, samples=cfg.los_samples)
+        graph_valid = graph_valid & los
 
     enter = node_costs(dgraph, node_weight,
                        inscribed_radius=inscribed_radius,

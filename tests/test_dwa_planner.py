@@ -1,0 +1,216 @@
+"""DWA global planner: window replan + splice + stale-goal cache, and the
+long-edge line-of-sight gate.
+
+Reference: `dynamic_window_aware_global_planner.cpp:100-288` and
+`a_star_on_pc.cpp:168-198`.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dddmr_navigation_tpu.config import NavigationConfig
+from dddmr_navigation_tpu.io import flat_ground_map
+from dddmr_navigation_tpu.planning.global_.runtime import GlobalPlannerRuntime
+from dddmr_navigation_tpu.planning.global_.dwa import (
+    DWAGlobalPlanManager, dwa_pivot)
+from dddmr_navigation_tpu.planning.global_.los import (
+    long_edge_los_mask, lethal_cloud_from_dgraph)
+
+
+CFG = NavigationConfig()
+
+
+def _ctx():
+    ground = flat_ground_map(16, 4, 0.2)
+    rt = GlobalPlannerRuntime(CFG, ground)
+    g = len(ground)
+    free = np.full((g,), CFG.perception.max_obstacle_distance, np.float32)
+    return ground, rt, free
+
+
+def _dgraph_with_obstacle(ground, center, radius=1.0):
+    d = np.linalg.norm(ground[:, :2] - np.asarray(center, np.float32)[None, :2],
+                       axis=1).astype(np.float32)
+    return np.where(d < CFG.perception.inflation_radius, d,
+                    CFG.perception.max_obstacle_distance)
+
+
+def test_new_goal_full_plan_then_stale_goal_cached():
+    ground, rt, free = _ctx()
+    dwa = DWAGlobalPlanManager(rt, CFG.dwa_global_planner)
+    calls = {"n": 0}
+    orig_plan = rt.plan
+
+    def counting_plan(*a, **k):
+        calls["n"] += 1
+        return orig_plan(*a, **k)
+
+    rt.plan = counting_plan
+    start = np.array([-7.0, 0.0, 0.0], np.float32)
+    goal = np.array([7.0, 0.0, 0.0], np.float32)
+    q = np.array([0, 0, 0, 1], np.float32)
+    p1 = dwa.request(goal, q, start, free)
+    assert p1 is not None and calls["n"] == 1
+    assert np.linalg.norm(p1.positions[-1] - goal) < 0.5
+    # stale goal → cached, no replanning (`:183-189`)
+    p2 = dwa.request(goal, q, start, free)
+    assert calls["n"] == 1
+    assert np.array_equal(p2.positions, p1.positions)
+    # new goal → replans
+    dwa.request(np.array([6.0, 1.0, 0.0], np.float32), q, start, free)
+    assert calls["n"] == 2
+
+
+def test_activate_threading_false_stops_recompute():
+    ground, rt, free = _ctx()
+    dwa = DWAGlobalPlanManager(rt, CFG.dwa_global_planner)
+    start = np.array([-7.0, 0.0, 0.0], np.float32)
+    goal = np.array([7.0, 0.0, 0.0], np.float32)
+    q = np.array([0, 0, 0, 1], np.float32)
+    dwa.request(goal, q, start, free)
+    assert dwa.threading_active
+    dwa.request(goal, q, start, free, activate_threading=False)
+    assert not dwa.threading_active
+    # recompute is a no-op while stopped
+    out = dwa.maybe_recompute(start, free, now=100.0)
+    assert dwa.dwa_path is None and out is dwa.global_path
+
+
+def test_window_replan_detours_and_relaxes():
+    """The headline DWA behavior: obstacle appears mid-path → the spliced
+    plan detours around it; obstacle clears → the next recompute relaxes
+    back through."""
+    ground, rt, free = _ctx()
+    dwa = DWAGlobalPlanManager(rt, CFG.dwa_global_planner)
+    start = np.array([-7.0, 0.0, 0.0], np.float32)
+    goal = np.array([7.0, 0.0, 0.0], np.float32)
+    q = np.array([0, 0, 0, 1], np.float32)
+    full = dwa.request(goal, q, start, free)
+    # straight corridor: the full plan hugs y=0
+    assert np.max(np.abs(full.positions[:, 1])) < 0.5
+
+    # obstacle appears 1.5 m ahead of the robot, on the path
+    robot = np.array([-6.0, 0.0, 0.0], np.float32)
+    blocked = _dgraph_with_obstacle(ground, [-4.5, 0.0])
+    dwa.maybe_recompute(robot, blocked, now=1.0)
+    spliced = dwa.dwa_path
+    assert spliced is not None
+    # detour: plan clears the lethal disk around the obstacle
+    d = np.linalg.norm(spliced.positions[:, :2] - [-4.5, 0.0], axis=1)
+    assert d.min() >= CFG.perception.inscribed_radius - 0.15
+    # the splice still ends at the goal (with the reference's duplicated
+    # terminal pose quirk)
+    assert np.linalg.norm(spliced.positions[-1] - goal) < 0.5
+    assert np.array_equal(spliced.positions[-1], spliced.positions[-2])
+    # detour actually deviates laterally
+    assert np.max(np.abs(spliced.positions[:, 1])) > 0.5
+
+    # obstacle clears → plan relaxes straight again
+    dwa.maybe_recompute(robot, free, now=2.0)
+    relaxed = dwa.dwa_path
+    assert np.max(np.abs(relaxed.positions[:, 1])) < 0.5
+
+
+def test_dwa_pivot_shifts_past_blocked_goal():
+    ground, rt, free = _ctx()
+    g = len(ground)
+    # plan along x at y=0
+    xs = np.arange(-7.0, 7.0, 0.1, dtype=np.float32)
+    plan = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1)
+    pad = np.zeros((256, 3), np.float32)
+    pad[:len(plan)] = plan
+    valid = np.zeros((256,), bool)
+    valid[:len(plan)] = True
+    robot = np.array([-7.0, 0.0, 0.0], np.float32)
+
+    look = CFG.dwa_global_planner.look_ahead_distance  # 2.0
+    # unblocked: pivot lands ~look_ahead from the robot
+    pivot, i0 = dwa_pivot(
+        jnp.asarray(pad), jnp.asarray(valid), jnp.asarray(robot),
+        jnp.asarray(ground), jnp.ones(g, bool), jnp.asarray(free),
+        look_ahead_distance=look,
+        inscribed_radius=CFG.perception.inscribed_radius)
+    x_unblocked = float(pad[int(pivot), 0])
+    assert abs(x_unblocked - (-7.0 + look)) < 0.3
+
+    # lethal disk exactly at the tentative local goal → pivot shifts ≥1 m
+    blocked = _dgraph_with_obstacle(ground, [x_unblocked, 0.0])
+    pivot2, _ = dwa_pivot(
+        jnp.asarray(pad), jnp.asarray(valid), jnp.asarray(robot),
+        jnp.asarray(ground), jnp.ones(g, bool), jnp.asarray(blocked),
+        look_ahead_distance=look,
+        inscribed_radius=CFG.perception.inscribed_radius)
+    assert float(pad[int(pivot2), 0]) >= x_unblocked + 0.9
+
+
+# ---------------------------------------------------------------------------
+# long-edge line-of-sight vs aggregated lethal
+# ---------------------------------------------------------------------------
+
+def test_long_edge_los_blocks_tunneling():
+    """A sparse node chain whose every edge comes from the kNN orphan
+    fallback (spacing 1.1 m > a_star_expanding_radius) — exactly the jump
+    class the reference LOS-verifies. A thin lethal wall crossing between
+    two nodes (too far from any ground node to show up in the dGraph) must
+    sever the crossing edges (`a_star_on_pc.cpp:168-198`)."""
+    xs = np.arange(0.0, 12.0, 1.1, dtype=np.float32)
+    ground = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1)
+    rt = GlobalPlannerRuntime(CFG, ground)
+    long_edges = rt.graph.nbr_valid & (
+        rt.graph.nbr_dist >= 2 * CFG.perception.inscribed_radius)
+    assert long_edges.any()
+
+    g = len(ground)
+    free = np.full((g,), CFG.perception.max_obstacle_distance, np.float32)
+    start = ground[0]
+    goal = ground[-1]
+
+    # without a lethal cloud the plan tunnels across the wall-to-be
+    assert rt.plan(start, goal, free) is not None
+
+    # thin lethal wall at x=4.95 (between nodes 4.4 and 5.5)
+    wy = np.arange(-0.3, 0.31, 0.1, dtype=np.float32)
+    wall = np.stack([np.full_like(wy, 4.95), wy, np.zeros_like(wy)], 1)
+    lp = np.zeros((CFG.global_planner.max_lethal_points, 3), np.float32)
+    lp[:len(wall)] = wall
+    lv = np.zeros((CFG.global_planner.max_lethal_points,), bool)
+    lv[:len(wall)] = True
+    assert rt.plan(start, goal, free, lethal_pts=lp, lethal_valid=lv) is None
+
+    # direct mask check: crossing edges blocked, non-crossing edges kept
+    mask = np.asarray(long_edge_los_mask(
+        jnp.asarray(rt.graph.nbr_idx), jnp.asarray(rt.graph.nbr_dist),
+        jnp.asarray(rt.graph.nbr_valid), jnp.asarray(ground),
+        jnp.asarray(lp), jnp.asarray(lv),
+        inscribed_radius=CFG.perception.inscribed_radius))
+    src_x = np.broadcast_to(ground[:, 0][:, None], rt.graph.nbr_idx.shape)
+    dst_x = ground[np.maximum(rt.graph.nbr_idx, 0), 0]
+    crosses = rt.graph.nbr_valid & (
+        np.minimum(src_x, dst_x) < 4.95) & (np.maximum(src_x, dst_x) > 4.95)
+    assert not mask[crosses].any()
+    # edges entirely ≥ 2×inscribed clear of the wall are kept (samples
+    # near the wall block even non-crossing edges — reference radius
+    # semantics, `a_star_on_pc.cpp:192-195`)
+    clear_of_wall = rt.graph.nbr_valid & (
+        np.abs(src_x - 4.95) > 1.0) & (np.abs(dst_x - 4.95) > 1.0) & ~crosses
+    assert clear_of_wall.any()
+    assert mask[clear_of_wall].all()
+
+
+def test_lethal_cloud_from_dgraph():
+    ground = flat_ground_map(4, 4, 0.5)
+    g = len(ground)
+    dgraph = np.full((g,), 9999.0, np.float32)
+    dgraph[5] = 0.2
+    dgraph[11] = 0.49
+    dgraph[12] = 0.51   # not lethal
+    pts, ok = lethal_cloud_from_dgraph(
+        jnp.asarray(ground), jnp.ones(g, bool), jnp.asarray(dgraph),
+        inscribed_radius=0.5, max_lethal=16)
+    pts, ok = np.asarray(pts), np.asarray(ok)
+    assert ok.sum() == 2
+    got = {tuple(np.round(p, 2)) for p in pts[ok]}
+    assert tuple(np.round(ground[5], 2)) in got
+    assert tuple(np.round(ground[11], 2)) in got

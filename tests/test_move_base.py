@@ -16,7 +16,10 @@ from dddmr_navigation_tpu.control.fsm import Decision
 @pytest.mark.slow
 def test_full_navigation_session():
     cfg = NavigationConfig()
-    ground = flat_ground_map(14, 8, 0.4)
+    # 0.2 m ground (the reference's demo grounds are ~0.1 m; the DWA
+    # window replanner assumes ground within its hardcoded 0.25 m
+    # plan-pose match radius, `dynamic_window_aware_global_planner.cpp:249`)
+    ground = flat_ground_map(14, 8, 0.2)
 
     # obstacle wall at x=0 with a gap at y ∈ [1.2, 2.4]
     wall_pts = []
