@@ -221,6 +221,7 @@ class SpinningLidarConfig:
     expected_sensor_time: float = 0.2
     euclidean_cluster_extraction_tolerance: float = 0.1
     euclidean_cluster_extraction_min_cluster_size: int = 1
+    stitcher_num: int = 0     # accumulate last N sweeps (0 = off)
     # TPU static shapes
     max_scan_points: int = 8192
     range_image_rows: int = 16
@@ -272,6 +273,10 @@ class DWAGlobalPlannerConfig:
 class MoveBaseConfig:
     """Reference `p2p_move_base` FSM params."""
     controller_frequency: float = 10.0
+    # which GetPlan action the plan manager queries
+    # (`p2p_global_plan_manager.cpp:45-47`): "get_dwa_plan" = cached path +
+    # windowed replans; "get_plan" = full replan every query.
+    global_planner_action_name: str = "get_dwa_plan"
     planner_patience: float = 10.0
     oscillation_distance: float = 5.0
     oscillation_angle: float = 1.0
@@ -370,6 +375,14 @@ class SlamConfig:
     scan_match_iters: int = 12
     icp_iters: int = 30
     pose_graph_iters: int = 8
+    # scan-to-map refinement vs the accumulated surrounding-keyframe
+    # submap (`mapOptimization.cpp:1192-1780`); ≤1 disables (scan-to-last-
+    # keyframe only). Leaves mirror downSizeFilterCorner/Surf.
+    map_match_iters: int = 6
+    submap_corner_leaf: float = 0.2
+    submap_surf_leaf: float = 0.4
+    submap_sharp_pad: int = 2048
+    submap_flat_pad: int = 4096
 
 
 @dataclass(frozen=True)
@@ -476,7 +489,8 @@ def load_yaml_config(path: str) -> NavigationConfig:
             "scan_effective_positive_start", "scan_effective_positive_end",
             "scan_effective_negative_start", "scan_effective_negative_end",
             "height_resolution", "marking_height", "perception_window_size",
-            "segmentation_ignore_ratio", "expected_sensor_time")
+            "segmentation_ignore_ratio", "expected_sensor_time",
+            "stitcher_num")
         if k in lidar_y},
         xy_resolution=lidar_y.get("xy_resolution", lidar_y.get("resolution", 0.05)),
     )
@@ -518,6 +532,8 @@ def load_yaml_config(path: str) -> NavigationConfig:
         no_plan_retry_num=int(mb.get("no_plan_retry_num", 10)),
         waiting_patience=mb.get("waiting_patience", 10.0),
         global_plan_query_frequency=gpm.get("global_plan_query_frequency", 5.0),
+        global_planner_action_name=gpm.get("global_planner_action_name",
+                                           "get_dwa_plan"),
     )
 
     gplanner = GlobalPlannerConfig(

@@ -57,7 +57,8 @@ class MoveBaseDriver:
         manager_cls = (AsyncPlanManager if threaded_plan_manager
                        else SyncPlanManager)
         self.plan_manager = manager_cls(
-            dwa, cfg.move_base.global_plan_query_frequency)
+            dwa, cfg.move_base.global_plan_query_frequency,
+            action=cfg.move_base.global_planner_action_name)
 
         self._jit_cmd = jax.jit(compute_velocity_command,
                                 static_argnums=(0, 10))
@@ -113,13 +114,15 @@ class MoveBaseDriver:
                 bool(out.succeeded))
 
     def tick(self, robot_pos, robot_quat, v, w, obstacles, obs_valid, now,
-             sensor_ok: bool = True, tf_ok: bool = True):
+             sensor_ok: bool = True, tf_ok: bool = True,
+             allowed_max_speed: float = -1.0):
         """One controller cycle. Returns (vx, wz, decision, done, succeeded).
 
         ``sensor_ok``/``tf_ok`` are the host freshness gates
         (`StackedPerception::isSensorOK` / TF-age ≤ 2 s); when either
         fails the base is not commanded, matching the reference's
-        safety behavior.
+        safety behavior. ``allowed_max_speed`` is the speed-limit layer's
+        cap (-1 = unlimited, `speed_limit_layer.cpp:222-300`).
         """
         lcfg = self.cfg.local_planner
         robot_pos = jnp.asarray(robot_pos, jnp.float32)
@@ -183,7 +186,7 @@ class MoveBaseDriver:
 
         cmd_simple = self._jit_cmd(lcfg, plan_for_cmd, robot_pos, robot_quat,
                                    jnp.float32(v), jnp.float32(w), obstacles,
-                                   obs_valid, jnp.float32(-1.0),
+                                   obs_valid, jnp.float32(allowed_max_speed),
                                    jnp.float32(0.0))
         in_goal_align = int(self.fsm.decision) == Decision.D_ALIGN_GOAL_HEADING
         rot_hd = ghd if in_goal_align else hd

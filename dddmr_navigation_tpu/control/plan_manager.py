@@ -42,10 +42,17 @@ class _Snapshot:
 
 
 class SyncPlanManager:
-    """Inline plan querying at ``query_frequency`` over a DWA manager."""
+    """Inline plan querying at ``query_frequency`` over a DWA manager.
 
-    def __init__(self, dwa: DWAGlobalPlanManager, query_frequency: float):
+    ``action`` selects the reference's configurable GetPlan target
+    (`p2p_global_plan_manager.cpp:45-47`): "get_dwa_plan" (default) uses
+    the DWA cache/splice machinery; "get_plan" full-replans from the
+    robot on every query (`GlobalPlanner::makeROSPlan` semantics)."""
+
+    def __init__(self, dwa: DWAGlobalPlanManager, query_frequency: float,
+                 action: str = "get_dwa_plan"):
         self.dwa = dwa
+        self.action = action
         self.query_frequency = query_frequency
         self.goal: Optional[tuple] = None
         self.active = False
@@ -89,17 +96,24 @@ class SyncPlanManager:
         """Called every control tick with the live snapshot."""
         if not (self.active and self.goal is not None):
             return
-        # windowed recompute rides its own (10 Hz) timer inside the DWA
-        self.dwa.maybe_recompute(robot_pos, dgraph, now,
-                                 lethal_pts=lethal_pts,
-                                 lethal_valid=lethal_valid)
+        if self.action == "get_dwa_plan":
+            # windowed recompute rides its own (10 Hz) timer inside the DWA
+            self.dwa.maybe_recompute(robot_pos, dgraph, now,
+                                     lethal_pts=lethal_pts,
+                                     lethal_valid=lethal_valid)
         if now - self._last_query_t < 1.0 / self.query_frequency:
             return
         self._last_query_t = now
         gp, gq = self.goal
-        path = self.dwa.request(gp, gq, robot_pos, dgraph,
-                                lethal_pts=lethal_pts,
-                                lethal_valid=lethal_valid)
+        if self.action == "get_dwa_plan":
+            path = self.dwa.request(gp, gq, robot_pos, dgraph,
+                                    lethal_pts=lethal_pts,
+                                    lethal_valid=lethal_valid)
+        else:  # "get_plan": full replan every query
+            full = self.dwa.rt.plan(robot_pos, gp, dgraph,
+                                    lethal_pts=lethal_pts,
+                                    lethal_valid=lethal_valid)
+            path = None if full is None else CachedPlan(*full)
         self._empty_result = path is None
         if path is not None:
             self._plan = path
@@ -111,8 +125,9 @@ class AsyncPlanManager(SyncPlanManager):
     worker queries at the configured frequency. Uses wall-clock pacing
     (the thread is inherently wall-clock, like the reference's timer)."""
 
-    def __init__(self, dwa: DWAGlobalPlanManager, query_frequency: float):
-        super().__init__(dwa, query_frequency)
+    def __init__(self, dwa: DWAGlobalPlanManager, query_frequency: float,
+                 action: str = "get_dwa_plan"):
+        super().__init__(dwa, query_frequency, action=action)
         self._lock = threading.Lock()
         self._snapshot: Optional[_Snapshot] = None
         self._shutdown = False
@@ -152,15 +167,22 @@ class AsyncPlanManager(SyncPlanManager):
                     snap = self._snapshot
             if snap is not None:
                 try:
-                    self.dwa.maybe_recompute(
-                        snap.robot_pos, snap.dgraph, snap.now,
-                        lethal_pts=snap.lethal_pts,
-                        lethal_valid=snap.lethal_valid)
                     gp, gq = self.goal
-                    path = self.dwa.request(
-                        gp, gq, snap.robot_pos, snap.dgraph,
-                        lethal_pts=snap.lethal_pts,
-                        lethal_valid=snap.lethal_valid)
+                    if self.action == "get_dwa_plan":
+                        self.dwa.maybe_recompute(
+                            snap.robot_pos, snap.dgraph, snap.now,
+                            lethal_pts=snap.lethal_pts,
+                            lethal_valid=snap.lethal_valid)
+                        path = self.dwa.request(
+                            gp, gq, snap.robot_pos, snap.dgraph,
+                            lethal_pts=snap.lethal_pts,
+                            lethal_valid=snap.lethal_valid)
+                    else:
+                        full = self.dwa.rt.plan(
+                            snap.robot_pos, gp, snap.dgraph,
+                            lethal_pts=snap.lethal_pts,
+                            lethal_valid=snap.lethal_valid)
+                        path = None if full is None else CachedPlan(*full)
                     with self._lock:
                         if self.active:   # a stop() may have raced the query
                             self._empty_result = path is None

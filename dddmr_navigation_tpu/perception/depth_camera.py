@@ -107,17 +107,82 @@ class DepthCameraObservation(NamedTuple):
     mask: jnp.ndarray       # (P,)
 
 
+class DepthCameraBuffer(NamedTuple):
+    """N-deep per-camera observation ring with expiry — the
+    `DepthCameraObservationBuffer` re-design
+    (`depth_camera_observation_buffer.cpp:78` `bufferCloud` +
+    `purgeStaleObservations`): clearing must test marked voxels against
+    *every* live frustum, so a voxel inside an OLDER (but unexpired)
+    frustum still clears even when the camera has since looked away.
+    Leading axes are (cameras, depth)."""
+    cam_pos: jnp.ndarray    # (C, N, 3)
+    cam_quat: jnp.ndarray   # (C, N, 4)
+    points: jnp.ndarray     # (C, N, P, 3)
+    mask: jnp.ndarray       # (C, N, P)
+    stamp: jnp.ndarray      # (C, N) f32, -inf = empty slot
+    head: jnp.ndarray       # (C,) int32 next write slot
+
+
+def init_depth_buffer(n_cameras: int, depth: int, max_points: int
+                      ) -> DepthCameraBuffer:
+    return DepthCameraBuffer(
+        cam_pos=jnp.zeros((n_cameras, depth, 3)),
+        cam_quat=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                                  (n_cameras, depth, 4)),
+        points=jnp.zeros((n_cameras, depth, max_points, 3)),
+        mask=jnp.zeros((n_cameras, depth, max_points), bool),
+        stamp=jnp.full((n_cameras, depth), -jnp.inf),
+        head=jnp.zeros((n_cameras,), jnp.int32))
+
+
+def push_observation(buf: DepthCameraBuffer, cam_idx, cam_pos, cam_quat,
+                     points, mask, stamp) -> DepthCameraBuffer:
+    """bufferCloud: write one observation into camera ``cam_idx``'s ring
+    (overwriting the oldest slot)."""
+    slot = buf.head[cam_idx]
+    return DepthCameraBuffer(
+        cam_pos=buf.cam_pos.at[cam_idx, slot].set(cam_pos),
+        cam_quat=buf.cam_quat.at[cam_idx, slot].set(cam_quat),
+        points=buf.points.at[cam_idx, slot].set(points),
+        mask=buf.mask.at[cam_idx, slot].set(mask),
+        stamp=buf.stamp.at[cam_idx, slot].set(stamp),
+        head=buf.head.at[cam_idx].set(
+            (slot + 1) % buf.stamp.shape[1]))
+
+
+def live_observations(buf: DepthCameraBuffer, now, keep_time: float):
+    """(C, N) liveness after expiry (`purgeStaleObservations`:
+    observations older than ``observation_keep_time`` drop out)."""
+    return jnp.isfinite(buf.stamp) & (now - buf.stamp <= keep_time)
+
+
+def buffer_as_observations(buf: DepthCameraBuffer, now, keep_time: float):
+    """Flatten the (C, N) ring into a leading observation axis for
+    :func:`clear_with_frustums` / :func:`mark_depth_points`, with expired
+    slots masked out."""
+    live = live_observations(buf, now, keep_time)     # (C, N)
+    c, n, p, _ = buf.points.shape
+    obs = DepthCameraObservation(
+        cam_pos=buf.cam_pos.reshape(c * n, 3),
+        cam_quat=buf.cam_quat.reshape(c * n, 4),
+        points=buf.points.reshape(c * n, p, 3),
+        mask=buf.mask.reshape(c * n, p) & live.reshape(c * n)[:, None])
+    return obs, live.reshape(c * n)
+
+
 def clear_with_frustums(spec: VoxelSpec, cam: CameraModel, grid, origin,
                         observations: DepthCameraObservation,
                         range_margin: float = 0.1,
-                        attach_dist: float = 0.2):
+                        attach_dist: float = 0.2,
+                        live=None):
     """selfClear (`depth_camera_layer.cpp:226-456`): a marked voxel inside
-    any camera's latest frustum is cleared unless the depth cloud blocks
-    the line of sight (range-image test) or the voxel is ATTACHED to the
-    cloud — within ``attach_dist`` of any depth point in 3D, the
-    reference's `FrustumUtils::isAttachFRUSTUMs` re-observation test
-    (`frustum_utils.cpp:219-291`). Observations carry a leading camera
-    axis."""
+    any LIVE observation's frustum is cleared unless that observation's
+    depth cloud blocks the line of sight (range-image test) or the voxel
+    is ATTACHED to the cloud — within ``attach_dist`` of any depth point
+    in 3D, the reference's `FrustumUtils::isAttachFRUSTUMs` re-observation
+    test (`frustum_utils.cpp:219-291`). Observations carry a leading
+    observation axis (cameras × buffered frames via
+    :func:`buffer_as_observations`); ``live`` masks expired slots."""
     from dddmr_navigation_tpu.perception.marking import _window_cell_positions
 
     pos = _window_cell_positions(spec, origin)      # (Nx,Ny,Nz,3)
@@ -156,6 +221,8 @@ def clear_with_frustums(spec: VoxelSpec, cam: CameraModel, grid, origin,
     inside_any, keep_any = jax.vmap(per_camera)(
         observations.cam_pos, observations.cam_quat,
         observations.points, observations.mask)
+    if live is not None:
+        inside_any = inside_any & live[:, None]
     inside = jnp.any(inside_any, axis=0)
     keep = jnp.any(inside_any & keep_any, axis=0)
     cleared = inside & ~keep

@@ -26,7 +26,7 @@ from dddmr_navigation_tpu.geometry import (
 from dddmr_navigation_tpu.slam.projection import project
 from dddmr_navigation_tpu.slam.features import extract_features, FeatureSet
 from dddmr_navigation_tpu.slam.scan_matching import (
-    match_scans, icp_point2point)
+    match_scans, match_to_map, icp_point2point)
 from dddmr_navigation_tpu.slam import pose_graph as pg
 from dddmr_navigation_tpu.state_estimation.submaps import (
     PoseGraph, write_pose_graph)
@@ -61,6 +61,22 @@ def _odometry(cfg: SlamConfig, feats: FeatureSet, ref: FeatureSet,
         tgt_less_flat_ring=ref.less_flat_ring)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _map_refine(cfg: SlamConfig, feats: FeatureSet, sub_sharp, sub_sharp_m,
+                sub_flat, sub_flat_m, init_pos, init_quat):
+    """Scan-to-map refinement against the accumulated surrounding-keyframe
+    submap (`mapOptimization.cpp:1407-1780` scan2MapOptimization): the
+    current scan's corners/surfs match the map-frame submap with the
+    reference's validated 5-NN eigen-line/lstsq-plane fits. The initial
+    guess is the scan-to-keyframe odometry pose
+    (`transformAssociateToMap`)."""
+    return match_to_map(
+        cfg, feats.sharp, feats.sharp_mask,
+        feats.less_flat[::4], feats.less_flat_mask[::4],
+        sub_sharp, sub_sharp_m, sub_flat, sub_flat_m,
+        init_pos=init_pos, init_quat=init_quat, iters=cfg.map_match_iters)
+
+
 @dataclass
 class MappingSession:
     """Host-side SLAM driver (feed scans → keyframes → pose graph)."""
@@ -75,10 +91,56 @@ class MappingSession:
     n_edges: int = 0
     graph: pg.PoseGraphArrays | None = None
     loop_closures: list = field(default_factory=list)
+    _submap: tuple | None = None
 
     def __post_init__(self):
         self.graph = pg.empty_graph(self.cfg.max_keyframes,
                                     self.cfg.max_edges)
+
+    # -- surrounding-keyframe submap (`extractSurroundingKeyFrames`,
+    # `mapOptimization.cpp:1192-1230`: recent-N keyframe queue in map frame)
+    def _rebuild_submap(self):
+        n_take = self.cfg.surrounding_keyframe_search_num
+        if n_take <= 1 or self.n_keyframes == 0:
+            self._submap = None
+            return
+        from dddmr_navigation_tpu.io.maps import voxel_downsample
+        first = max(0, self.n_keyframes - n_take)
+        sharp_all, flat_all = [], []
+        for i in range(first, self.n_keyframes):
+            p, q = self._kf_pose(i)
+            f = self.keyframe_feats[i]
+            qj = jnp.asarray(q)
+
+            def to_map(pts, mask):
+                sel = np.asarray(pts)[np.asarray(mask)]
+                if not len(sel):
+                    return sel
+                return np.asarray(quat_rotate(qj[None, :],
+                                              jnp.asarray(sel))) + p[None, :]
+
+            sharp_all.append(to_map(f.less_sharp, f.less_sharp_mask))
+            flat_all.append(to_map(f.less_flat, f.less_flat_mask))
+        sharp = np.concatenate([s for s in sharp_all if len(s)]) \
+            if any(len(s) for s in sharp_all) else np.zeros((0, 3), np.float32)
+        flat = np.concatenate([s for s in flat_all if len(s)]) \
+            if any(len(s) for s in flat_all) else np.zeros((0, 3), np.float32)
+        sharp = voxel_downsample(sharp, self.cfg.submap_corner_leaf)
+        flat = voxel_downsample(flat, self.cfg.submap_surf_leaf)
+
+        def pad(pts, n):
+            if len(pts) > n:
+                stride = int(np.ceil(len(pts) / n))
+                pts = pts[::stride][:n]
+            out = np.full((n, 3), 1e6, np.float32)
+            out[:len(pts)] = pts
+            m = np.zeros((n,), bool)
+            m[:len(pts)] = True
+            return jnp.asarray(out), jnp.asarray(m)
+
+        ss, sm = pad(sharp, self.cfg.submap_sharp_pad)
+        fs, fm = pad(flat, self.cfg.submap_flat_pad)
+        self._submap = (ss, sm, fs, fm)
 
     # -- helpers ----------------------------------------------------------
     def _kf_pose(self, i):
@@ -112,6 +174,16 @@ class MappingSession:
         self.cur_pos = ref_pos + np.asarray(
             quat_rotate(jnp.asarray(ref_quat), rel_pos))
 
+        # scan-to-map refinement vs the accumulated submap
+        # (`scan2MapOptimization`): corrects the drift scan-to-single-
+        # keyframe matching accumulates between loop closures
+        if self._submap is not None:
+            mpos, mquat, _ = _map_refine(
+                self.cfg, feats, *self._submap,
+                jnp.asarray(self.cur_pos), jnp.asarray(self.cur_quat))
+            self.cur_pos = np.asarray(mpos)
+            self.cur_quat = np.asarray(mquat)
+
         if self._keyframe_due(ref_pos, ref_quat):
             self._add_keyframe(feats, parent=ref_i)
             if self.cfg.enable_loop_closure:
@@ -142,6 +214,7 @@ class MappingSession:
                                      jnp.asarray(rel_p), jnp.asarray(rel_q),
                                      weight=1.0)
             self.n_edges += 1
+        self._rebuild_submap()
 
     def _try_loop_closure(self):
         cur = self.n_keyframes - 1
@@ -174,8 +247,10 @@ class MappingSession:
         self.loop_closures.append((cand, cur, float(fitness)))
         self.graph = pg.optimize_pose_graph(self.graph,
                                             self.cfg.pose_graph_iters)
-        # correctPoses: current pose follows the corrected keyframe
+        # correctPoses: current pose follows the corrected keyframe, and
+        # the submap is rebuilt from the corrected poses
         self.cur_pos, self.cur_quat = self._kf_pose(cur)
+        self._rebuild_submap()
         return True
 
     # -- artifacts ----------------------------------------------------------

@@ -97,7 +97,8 @@ def _plane_residuals(xi, pos, quat, src, pa, pb, pc):
 
 
 def _gn_step(pos, quat, residual_fn, weights, damping=1e-4,
-             lm_lambda=0.05, max_rot=0.2, max_trans=0.3):
+             lm_lambda=0.05, max_rot=0.2, max_trans=0.3,
+             degen_thresh=None):
     """One damped Gauss-Newton step on the 6-twist. residual_fn: ξ → (R,).
 
     Robustness against imperfect correspondences (LOAM's features are
@@ -106,15 +107,24 @@ def _gn_step(pos, quat, residual_fn, weights, damping=1e-4,
     trust-region-clipped per iteration — re-matching next iteration
     corrects course, exactly like the reference's `iterCount` loop with
     its small per-iteration updates (`featureAssociation.cpp:1254-1460`).
+
+    ``degen_thresh``: the reference's scan-to-map degeneracy guard
+    (`mapOptimization.cpp` LMOptimization isDegenerate): update components
+    along JtJ eigendirections with eigenvalue below the threshold are
+    projected out instead of solved through.
     """
     xi0 = jnp.zeros((6,), jnp.float32)
     r = residual_fn(xi0)
     J = jax.jacfwd(residual_fn)(xi0)          # (R, 6)
     w = weights
     JtJ = (J * w[:, None]).T @ J
-    JtJ = JtJ + lm_lambda * jnp.diag(jnp.diag(JtJ)) + damping * jnp.eye(6)
     Jtr = (J * w[:, None]).T @ r
-    xi = -jnp.linalg.solve(JtJ, Jtr)
+    JtJ_d = JtJ + lm_lambda * jnp.diag(jnp.diag(JtJ)) + damping * jnp.eye(6)
+    xi = -jnp.linalg.solve(JtJ_d, Jtr)
+    if degen_thresh is not None:
+        evals, evecs = jnp.linalg.eigh(JtJ)
+        keep = (evals > degen_thresh).astype(jnp.float32)
+        xi = evecs @ (keep * (evecs.T @ xi))
     rot_n = jnp.linalg.norm(xi[:3])
     trans_n = jnp.linalg.norm(xi[3:])
     scale = jnp.minimum(1.0, jnp.minimum(
@@ -267,3 +277,86 @@ def icp_point2point(src, src_mask, tgt, tgt_mask, iters: int = 30,
     pos, quat, fitness = lax.fori_loop(
         0, iters, body, (init_pos, init_quat, jnp.float32(jnp.inf)))
     return pos, quat, fitness
+
+
+def match_to_map(cfg: SlamConfig, src_sharp, src_sharp_mask, src_flat,
+                 src_flat_mask, map_sharp, map_sharp_mask, map_flat,
+                 map_flat_mask, init_pos=None, init_quat=None,
+                 iters: int | None = None):
+    """Scan-to-map matching with the reference's 5-NN geometric fits
+    (`mapOptimization.cpp:1407-1660`): corners fit a LINE through the
+    5-NN mean via the principal covariance eigenvector, valid when
+    λ₁ > 3·λ₂ AND the 5th neighbor is within 1 m; surfs fit a PLANE by
+    least squares (A·n = −1), valid when all 5 points lie within 0.2 m of
+    it. This is what makes matching against an unstructured accumulated
+    submap stable — plain k-NN correspondences on a voxel-downsampled
+    cloud produce degenerate lines/planes (no ring structure to lean on).
+
+    Returns (pos, quat, mean_residual).
+    """
+    if init_pos is None:
+        init_pos = jnp.zeros((3,), jnp.float32)
+    if init_quat is None:
+        init_quat = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    iters = iters or cfg.map_match_iters
+
+    def body(_, carry):
+        pos, quat, _ = carry
+        # --- corners → eigen lines (`:1407-1500`) ----------------------
+        ps = _apply(pos, quat, src_sharp)
+        idx_c, d2_c = _knn(ps, map_sharp, map_sharp_mask, 5)
+        nn_c = map_sharp[idx_c]                       # (N, 5, 3)
+        mean_c = jnp.mean(nn_c, axis=1, keepdims=True)
+        cen = nn_c - mean_c
+        cov = jnp.einsum("nki,nkj->nij", cen, cen) / 5.0
+        evals, evecs = jnp.linalg.eigh(cov)           # ascending
+        principal = evecs[:, :, 2]
+        line_ok = evals[:, 2] > 3.0 * evals[:, 1]
+        la = mean_c[:, 0, :] + 0.1 * principal
+        lb = mean_c[:, 0, :] - 0.1 * principal
+        w_c = (src_sharp_mask & line_ok & (d2_c[:, 4] < 1.0)
+               ).astype(jnp.float32)
+
+        # --- surfs → lstsq planes (`:1519-1660`) ------------------------
+        pf = _apply(pos, quat, src_flat)
+        idx_s, d2_s = _knn(pf, map_flat, map_flat_mask, 5)
+        nn_s = map_flat[idx_s]                        # (N, 5, 3)
+        # solve A n = -1  (plane n·x + 1 = 0)
+        AtA = jnp.einsum("nki,nkj->nij", nn_s, nn_s)
+        Atb = -jnp.sum(nn_s, axis=1)
+        n_vec = jnp.linalg.solve(
+            AtA + 1e-6 * jnp.eye(3)[None], Atb[:, :, None])[:, :, 0]
+        n_norm = jnp.linalg.norm(n_vec, axis=-1, keepdims=True)
+        unit_n = n_vec / jnp.maximum(n_norm, 1e-9)
+        d_plane = 1.0 / jnp.maximum(n_norm[:, 0], 1e-9)
+        # all 5 supports within 0.2 m of the fitted plane
+        support_d = jnp.abs(jnp.einsum("nki,ni->nk", nn_s, unit_n)
+                            + d_plane[:, None])
+        plane_ok = jnp.all(support_d < 0.2, axis=1)
+        w_s = (src_flat_mask & plane_ok & (d2_s[:, 4] < 1.0)
+               ).astype(jnp.float32)
+
+        def res(xi):
+            p = _twist_apply(xi, pos, quat, src_sharp)
+            d = lb - la
+            dn = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+            v = p - la
+            perp = v - jnp.sum(v * dn, axis=-1, keepdims=True) * dn
+            rc = _safe_norm(perp)
+            pfp = _twist_apply(xi, pos, quat, src_flat)
+            rs = jnp.einsum("ni,ni->n", pfp, unit_n) + d_plane
+            return jnp.concatenate([rc, rs])
+
+        w = jnp.concatenate([w_c, w_s])
+        r0 = res(jnp.zeros((6,), jnp.float32))
+        # reference robust gate: s = 1 − 0.9·|r|, drop when s ≤ 0.1
+        # (`mapOptimization.cpp:1480-1497,1643-1660`)
+        s = 1.0 - 0.9 * jnp.abs(r0)
+        w = w * jnp.where(s > 0.1, s, 0.0)
+        pos, quat = _gn_step(pos, quat, res, w, degen_thresh=100.0)
+        mean_r = jnp.sum(jnp.abs(r0) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return pos, quat, mean_r
+
+    pos, quat, mean_r = lax.fori_loop(
+        0, iters, body, (init_pos, init_quat, jnp.float32(0.0)))
+    return pos, quat, mean_r

@@ -246,3 +246,38 @@ def covariance(state: PFState):
     d = jnp.concatenate([state.pos - mean_pos[None, :], drpy], axis=-1)
     w = state.prob / jnp.maximum(jnp.sum(state.prob), 1e-30)
     return (d * w[:, None]).T @ d
+
+
+def resize_particles(state: PFState, m: int) -> PFState:
+    """`ParticleFilter::resizeParticle` (`pf.h:387-430`): deterministic
+    systematic resampling to ``m`` particles (pscan = pstep·i over the
+    cumulative weights; no noise), used by the global-localization 0.75
+    shrink schedule (`mcl_3dl.cpp:661-676`). ``m`` is a static shape."""
+    n = state.prob.shape[0]
+    accum = jnp.cumsum(state.prob)
+    pstep = accum[-1] / m
+    pscan = pstep * (jnp.arange(m, dtype=jnp.float32) + 1.0)
+    idx = jnp.clip(jnp.searchsorted(accum, pscan, side="left"), 0, n - 1)
+    return PFState(
+        pos=state.pos[idx], quat=state.quat[idx],
+        prob=jnp.full((m,), 1.0 / m, jnp.float32),
+        odom_err_integ_lin=state.odom_err_integ_lin[idx],
+        odom_err_integ_ang=state.odom_err_integ_ang[idx],
+        noise_ll=state.noise_ll[idx], noise_la=state.noise_la[idx],
+        noise_aa=state.noise_aa[idx], noise_al=state.noise_al[idx])
+
+
+def seed_particles_at(positions, yaws) -> PFState:
+    """Seed one particle per candidate (global-localization big-N spread:
+    ground nodes × yaw grid — the TPU stand-in for the reference's
+    resize+expand seeding)."""
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    n = positions.shape[0]
+    quat = jax.vmap(quat_from_yaw)(jnp.asarray(yaws, jnp.float32))
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z1 = jnp.zeros((n,), jnp.float32)
+    return PFState(
+        pos=jnp.asarray(positions, jnp.float32), quat=quat,
+        prob=jnp.full((n,), 1.0 / n, jnp.float32),
+        odom_err_integ_lin=z3, odom_err_integ_ang=z3,
+        noise_ll=z1, noise_la=z1, noise_aa=z1, noise_al=z1)

@@ -201,3 +201,26 @@ def test_static_cluster_rejected():
     state2 = PUPDATE(SPEC, RI, params, state, ctx, scan, mask,
                                robot_pos, q, sensor_pos, q)
     assert int(np.asarray(state2.grid).sum()) == 0
+
+
+def test_scan_stitcher():
+    """`stitcher_num` sweep accumulation (`multilayer_spinning_lidar.cpp:
+    177-201`): last-N concatenation, passthrough at 0, fixed output pad."""
+    from dddmr_navigation_tpu.perception.stitcher import ScanStitcher
+    s = ScanStitcher(0)
+    p = np.ones((4, 3), np.float32)
+    m = np.ones((4,), bool)
+    op, om = s.push(p, m)
+    assert op is p and om is m  # passthrough
+
+    s = ScanStitcher(2, pad_to=16)
+    a = np.full((3, 3), 1.0, np.float32)
+    b = np.full((3, 3), 2.0, np.float32)
+    c = np.full((3, 3), 3.0, np.float32)
+    mm = np.ones((3,), bool)
+    s.push(a, mm)
+    op, om = s.push(b, mm)
+    assert om.sum() == 6 and (op[:3] == 1.0).all() and (op[3:6] == 2.0).all()
+    op, om = s.push(c, mm)   # deque(maxlen=2) drops the oldest sweep
+    assert om.sum() == 6 and (op[:3] == 2.0).all() and (op[3:6] == 3.0).all()
+    assert op.shape == (16, 3)

@@ -161,3 +161,103 @@ def test_occupancy_to_clouds(tmp_path):
         f.write(b"P5\n# c\n30 20\n255\n" + img.tobytes())
     img2 = read_pgm(str(p))
     np.testing.assert_array_equal(img2, img)
+
+
+# ---------------------------------------------------------------------------
+# depth-camera observation ring buffer (depth_camera_observation_buffer.cpp)
+# ---------------------------------------------------------------------------
+
+def _buf_spec_grid():
+    from dddmr_navigation_tpu.perception.depth_camera import mark_depth_points
+    spec = VoxelSpec(nx=32, ny=32, nz=16, xy_resolution=0.1,
+                     height_resolution=0.1)
+    origin = jnp.asarray([-16, -16, -8], jnp.int32)
+    ys, zs = np.meshgrid(np.linspace(-0.4, 0.4, 12), np.linspace(-0.3, 0.3, 8))
+    wall = np.stack([np.full(ys.size, 1.5), ys.ravel(), zs.ravel()], 1)
+    obs = _obs_single([0.0, 0.0, 0.0], IDQ, wall)
+    grid = mark_depth_points(spec, jnp.zeros((32, 32, 16), jnp.uint8), origin,
+                             obs, robot_z=-0.5, marking_height=2.0)
+    return spec, origin, grid
+
+
+def _pad_depth(pts, n=256):
+    p = np.zeros((n, 3), np.float32)
+    m = np.zeros((n,), bool)
+    p[:len(pts)] = pts
+    m[:len(pts)] = True
+    return jnp.asarray(p), jnp.asarray(m)
+
+
+def test_depth_buffer_ring_overwrites_oldest():
+    from dddmr_navigation_tpu.perception.depth_camera import (
+        init_depth_buffer, push_observation, live_observations)
+    buf = init_depth_buffer(n_cameras=2, depth=2, max_points=8)
+    pts, mask = _pad_depth(np.ones((3, 3), np.float32), 8)
+    for t in (0.0, 0.1, 0.2):
+        buf = push_observation(buf, 0, jnp.asarray([t, 0, 0]), IDQ, pts,
+                               mask, t)
+    # slot of t=0.0 was overwritten by t=0.2 (depth 2)
+    stamps = np.sort(np.asarray(buf.stamp[0]))
+    np.testing.assert_allclose(stamps, [0.1, 0.2], atol=1e-6)
+    # camera 1 untouched, both slots empty
+    live = np.asarray(live_observations(buf, now=0.25, keep_time=1.0))
+    assert live[0].all() and not live[1].any()
+
+
+def test_older_frustum_still_clears_until_expiry():
+    """The buffered-observation semantics the single-latest design loses:
+    the camera sees free space, then looks away — the marked voxels inside
+    the OLDER (live) frustum still clear; once the observation expires
+    they are kept."""
+    from dddmr_navigation_tpu.perception.depth_camera import (
+        init_depth_buffer, push_observation, buffer_as_observations)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    spec, origin, grid = _buf_spec_grid()
+    n0 = int(jnp.sum(grid))
+    assert n0 > 20
+
+    far = np.stack([np.full(8, 2.5), np.linspace(-0.4, 0.4, 8),
+                    np.zeros(8)], 1)
+    side = np.stack([np.zeros(8), np.full(8, 2.5),
+                     np.zeros(8)], 1)
+    fp, fm = _pad_depth(far)
+    sp, sm = _pad_depth(side)
+
+    buf = init_depth_buffer(n_cameras=1, depth=2, max_points=256)
+    # t=0: looking +x, sees through to the far wall
+    buf = push_observation(buf, 0, jnp.zeros(3), IDQ, fp, fm, 0.0)
+    # t=0.2: looked away (+y)
+    q90 = quat_from_yaw(jnp.float32(np.pi / 2))
+    buf = push_observation(buf, 0, jnp.zeros(3), q90, sp, sm, 0.2)
+
+    # now=0.3, keep 1.0 s: the old +x frustum is live → voxels cleared
+    obs, live = buffer_as_observations(buf, now=0.3, keep_time=1.0)
+    g_live = clear_with_frustums(spec, CAM, grid, origin, obs, live=live)
+    assert int(jnp.sum(g_live)) < 0.2 * n0
+
+    # now=1.5, keep 1.0 s: both observations expired → nothing clears
+    obs2, live2 = buffer_as_observations(buf, now=1.5, keep_time=1.0)
+    g_dead = clear_with_frustums(spec, CAM, grid, origin, obs2, live=live2)
+    assert int(jnp.sum(g_dead)) == n0
+
+
+def test_multi_camera_buffer_clears_cross_camera():
+    """Two cameras: camera B's observation clears voxels camera A marked
+    (the reference's cross-sensor clearing motivation,
+    `stacked_perception.cpp:72-90`)."""
+    from dddmr_navigation_tpu.perception.depth_camera import (
+        init_depth_buffer, push_observation, buffer_as_observations)
+    spec, origin, grid = _buf_spec_grid()
+    n0 = int(jnp.sum(grid))
+
+    far = np.stack([np.full(8, 2.8), np.linspace(-0.4, 0.4, 8),
+                    np.zeros(8)], 1)
+    fp, fm = _pad_depth(far)
+    buf = init_depth_buffer(n_cameras=2, depth=2, max_points=256)
+    # camera B sits behind, also looking +x, sees through the (now gone)
+    # wall position
+    buf = push_observation(buf, 1, jnp.asarray([-0.2, 0.0, 0.0]), IDQ,
+                           fp, fm, 0.0)
+    obs, live = buffer_as_observations(buf, now=0.1, keep_time=1.0)
+    g = clear_with_frustums(spec, CAM, grid, origin, obs, live=live)
+    assert int(jnp.sum(g)) < 0.2 * n0

@@ -197,3 +197,34 @@ def test_mapping_session_end_to_end(tmp_path):
     g = read_pose_graph(out)
     assert len(g.poses) == sess.n_keyframes
     assert len(g.feature_clouds[0]) > 50
+
+
+@pytest.mark.slow
+def test_scan_to_map_submap_reduces_drift():
+    """VERDICT r1 item 7: matching only the last keyframe drifts between
+    loop closures (notably in z on this fixture); the accumulated
+    surrounding-keyframe submap refinement (`mapOptimization.cpp:
+    1192-1780`) pins it. Compare the same trajectory with the submap
+    enabled (surrounding_keyframe_search_num=10) vs disabled (=1)."""
+    import dataclasses
+
+    def run(cfg):
+        sess = MappingSession(cfg=cfg)
+        pos = np.array([-3.0, -3.0, 0.8], np.float32)
+        yaw = 0.0
+        for t in range(12):
+            pts, mask = simulate_scan(WORLD, pos, yaw, n_rings=16,
+                                      n_cols=250)
+            est_p, _ = sess.process_scan(pts, mask)
+            pos = pos + np.array([0.4 * np.cos(yaw), 0.4 * np.sin(yaw),
+                                  0.0], np.float32)
+            yaw += 0.05
+        return np.asarray(est_p)
+
+    with_sub = run(dataclasses.replace(
+        CFG, surrounding_keyframe_search_num=10))
+    without = run(dataclasses.replace(
+        CFG, surrounding_keyframe_search_num=1))
+    # the trajectory is planar: |z| at the end IS the drift
+    assert abs(with_sub[2]) < 0.35, with_sub
+    assert abs(with_sub[2]) <= abs(without[2]) + 0.05, (with_sub, without)

@@ -351,3 +351,78 @@ def test_preprocess_features_end_to_end():
     assert f.shape == flat.shape and w.shape == (sharp.shape[0],)
     assert int(jnp.sum(fmask)) <= int(jnp.sum(fm))
     assert bool(jnp.all(w > 0))
+
+
+# ---------------------------------------------------------------------------
+# global localization (mcl_3dl.cpp:661-679 shrink schedule + pf.h:387-430)
+# ---------------------------------------------------------------------------
+
+def test_resize_particles_systematic():
+    from dddmr_navigation_tpu.state_estimation.pf import (
+        seed_particles_at, resize_particles)
+    import numpy as np
+    # 4 particles, one dominant: resize to 2 keeps mass on the dominant one
+    pos = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], np.float32)
+    p = seed_particles_at(jnp.asarray(pos), jnp.zeros(4))
+    p = p._replace(prob=jnp.asarray([0.05, 0.8, 0.05, 0.1]))
+    q = resize_particles(p, 2)
+    qpos = np.asarray(q.pos)
+    assert q.prob.shape == (2,)
+    np.testing.assert_allclose(np.asarray(q.prob), [0.5, 0.5])
+    # both survivors are the dominant particle's pose
+    assert (qpos[:, 0] == 1.0).sum() >= 1
+
+
+@pytest.mark.slow
+def test_global_localization_recovers_unknown_start(world_ctx):
+    """Box-world recovery from an unknown pose: big-N seed over the ground,
+    0.75 shrink per tick, handoff at num_particles with a drained fix
+    countdown — the estimate lands near the true pose."""
+    import numpy as np
+    from dddmr_navigation_tpu.state_estimation.global_localization import (
+        GlobalLocalization)
+    import dataclasses
+    map_pts, ground_pts, ctx_unused = world_ctx
+    # expansion resetting must be LIVE during the search phase (the test's
+    # runtime CFG disables it); the likelihood's yaw basin is ~±0.2 rad so
+    # the seed needs a ≥16-way yaw grid.
+    glcfg = dataclasses.replace(CFG, match_ratio_thresh=0.6)
+    from dddmr_navigation_tpu.state_estimation import build_submap_context
+    ctx = build_submap_context(map_pts, ground_pts, glcfg, res=0.2)
+
+    # truth: circling in the open corner region (x=-4 wall + y=4 wall
+    # both visible → pose is unambiguous)
+    center = np.array([-2.5, 2.5, 0.0], np.float32)
+
+    def pose_at(t):
+        th = 0.08 * t
+        p = center + np.array([0.5 * np.cos(th), 0.5 * np.sin(th), 0.0],
+                              np.float32)
+        return p, 0.6 + 0.25 * th
+
+    gl = GlobalLocalization(glcfg, ctx, jax.random.PRNGKey(3), ground_pts,
+                            num_start=2048, yaw_samples=16, shrink_every=2)
+    assert gl.size == 2048 and not gl.fixed
+
+    pos, yaw = pose_at(0)
+    opos_prev, oyaw_prev = pos.copy(), yaw
+    out = None
+    for t in range(1, 80):
+        pos, yaw = pose_at(t)
+        flat, flat_m, sharp, sharp_m = _scan_features(
+            map_pts, ground_pts, pos, yaw, n_sharp=192, radius=9.0,
+            rng=np.random.default_rng(t))
+        out = gl.step(
+            jnp.asarray(opos_prev), quat_from_yaw(jnp.asarray(oyaw_prev)),
+            jnp.asarray(pos), quat_from_yaw(jnp.asarray(yaw)),
+            jnp.asarray(0.25),
+            flat, flat_m, sharp, sharp_m, jnp.ones(sharp.shape[0]))
+        opos_prev, oyaw_prev = pos.copy(), yaw
+        if gl.fixed:
+            break
+    assert gl.fixed, "shrink schedule never drained"
+    assert gl.size == CFG.num_particles
+    err = np.linalg.norm(np.asarray(out.pose_pos)[:2] - pos[:2])
+    assert err < 1.0, f"global localization off by {err:.2f} m"
+    # handoff state is a runtime-sized MCLState usable directly
+    assert gl.state.particles.prob.shape == (CFG.num_particles,)
