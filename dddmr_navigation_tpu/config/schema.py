@@ -261,6 +261,7 @@ class GlobalPlannerConfig:
     max_long_edges: int = 4096     # LOS-verified long-edge budget
     los_samples: int = 32          # per-edge LOS sample count
     max_lethal_points: int = 2048  # aggregated lethal cloud padding
+    turning_dir_bins: int = 16     # incoming-direction bins (w_turn > 0)
 
 
 @dataclass(frozen=True)

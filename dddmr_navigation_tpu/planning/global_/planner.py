@@ -16,7 +16,8 @@ from dddmr_navigation_tpu.config import GlobalPlannerConfig
 from dddmr_navigation_tpu.geometry import slope_aware_quat
 from dddmr_navigation_tpu.planning.global_.graph import GroundGraph
 from dddmr_navigation_tpu.planning.global_.wavefront import (
-    node_costs, wavefront_distances, extract_path)
+    node_costs, wavefront_distances, extract_path,
+    wavefront_distances_turning, extract_path_turning)
 
 
 class GlobalPathResult(NamedTuple):
@@ -63,17 +64,30 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
     enter = node_costs(dgraph, node_weight,
                        inscribed_radius=inscribed_radius,
                        inflation_descending_rate=inflation_descending_rate)
-    wf = wavefront_distances(graph_idx, graph_dist, graph_valid, enter,
-                             avg_intensity, goal_idx,
-                             max_iters=cfg.max_relax_iters)
-    ids, valid, length, p_ok = extract_path(
-        graph_idx, graph_dist, graph_valid, enter, wf.dist, start_idx,
-        goal_idx, max_len=cfg.max_path_len,
-        turning_weight=cfg.turning_weight, positions=ground)
+    if cfg.turning_weight > 0.0:
+        # direction-expanded relaxation carries θ·w_turn exactly
+        dist_gb, edge_bins = wavefront_distances_turning(
+            graph_idx, graph_dist, graph_valid, enter, avg_intensity,
+            goal_idx, ground, cfg.turning_weight,
+            n_dir_bins=cfg.turning_dir_bins, max_iters=cfg.max_relax_iters)
+        ids, valid, length, p_ok = extract_path_turning(
+            graph_idx, graph_dist, graph_valid, enter, dist_gb, edge_bins,
+            start_idx, goal_idx, ground, cfg.turning_weight,
+            max_len=cfg.max_path_len)
+        dist_to_goal = jnp.min(dist_gb, axis=1)
+    else:
+        wf = wavefront_distances(graph_idx, graph_dist, graph_valid, enter,
+                                 avg_intensity, goal_idx,
+                                 max_iters=cfg.max_relax_iters)
+        ids, valid, length, p_ok = extract_path(
+            graph_idx, graph_dist, graph_valid, enter, wf.dist, start_idx,
+            goal_idx, max_len=cfg.max_path_len,
+            turning_weight=0.0, positions=ground)
+        dist_to_goal = wf.dist
     ok = s_ok & g_ok & p_ok
     return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
                             length=jnp.where(ok, length, 0), ok=ok,
-                            dist_to_goal=wf.dist)
+                            dist_to_goal=dist_to_goal)
 
 
 def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,

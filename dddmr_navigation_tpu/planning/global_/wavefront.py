@@ -12,12 +12,15 @@ composite edge cost reproduces `a_star_on_pc.cpp:278-288`:
 
 with the lethal prune ``dGraph < inscribed_radius``
 (`a_star_on_pc.cpp:263-266`). The parent-angle turning term θ·w_turn
-(`:284-287`) depends on the expansion *tree*, which a label-correcting
-relaxation doesn't maintain; with the deployment default w_turn = 0.1 rad
-its contribution is bounded by ~0.3 per vertex and mainly discourages
-zig-zag ties — we approximate it post-hoc during path extraction
-(choosing the straightest among near-equal successors). Parity is defined
-on resulting paths/costs (SURVEY.md §7 "sequential contamination").
+(`:284-287`) depends on the expansion *tree*, which a plain
+label-correcting relaxation doesn't maintain — so for w_turn > 0 the
+state space is expanded over incoming-direction bins
+(:func:`wavefront_distances_turning`), carrying the term exactly (up to
+bin quantization); extraction then scores successors with the exact
+reference θ (quirks included, :func:`theta_reference`). Parity evidence:
+`tests/test_dwa_planner.py::test_turning_term_parity_against_full_astar`
+holds extracted-path cost within 5% of a reference-faithful A* optimum
+even at w_turn = 1.0 (and exact at w_turn = 0).
 
 Distances are computed **from the goal** so one relaxation serves every
 start (and every robot sharing the map) — path extraction is then greedy
@@ -49,6 +52,92 @@ def node_costs(dgraph, node_weight, *, inscribed_radius,
     cost = factor + node_weight
     lethal = dgraph < inscribed_radius
     return jnp.where(lethal, jnp.inf, cost)
+
+
+def edge_azimuth(positions, nbr_idx):
+    """(G, K) XY azimuth of each edge u→v."""
+    safe = jnp.maximum(nbr_idx, 0)
+    d = positions[safe] - positions[:, None, :]
+    return jnp.arctan2(d[..., 1], d[..., 0])
+
+
+def _wrap_angle(a):
+    return jnp.mod(a + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def _theta_capped(theta_abs):
+    """The reference's turning angle with its ≤0.345 rad dead zone
+    (`a_star_on_pc.cpp:163-164`)."""
+    return jnp.where(theta_abs <= 0.345, 0.0, theta_abs)
+
+
+def theta_reference(p_parent, p_cur, p_exp):
+    """`getThetaFromParent2Expanding` (`a_star_on_pc.cpp:142-166`) in jnp,
+    quirks included: zero for vanishing XY vectors, zero when the |x|
+    components agree within 1e-4, dead zone ≤ 0.345 rad. Broadcasts over
+    leading dims of ``p_exp``."""
+    v1 = (p_cur - p_parent)[..., :2]
+    v2 = (p_exp - p_cur)[..., :2]
+    n1 = jnp.linalg.norm(v1, axis=-1)
+    n2 = jnp.linalg.norm(v2, axis=-1)
+    cos_t = jnp.sum(v1 * v2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    zero = ((n1 == 0.0) | (n2 == 0.0)
+            | (jnp.abs(jnp.abs(v1[..., 0]) - jnp.abs(v2[..., 0])) <= 1e-4))
+    theta = jnp.where(zero, 0.0, theta)
+    return _theta_capped(theta)
+
+
+def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
+                                avg_intensity, goal_idx, positions,
+                                turning_weight: float, *,
+                                n_dir_bins: int = 16,
+                                max_iters: int = 512):
+    """Direction-expanded relaxation for ``turning_weight > 0``: the state
+    is (node, incoming-direction bin), so the reference's parent-angle
+    term θ·w_turn (`a_star_on_pc.cpp:284-288`) is carried EXACTLY inside
+    the relaxation (up to the incoming-bin quantization of 2π/B; the
+    outgoing leg uses the exact edge azimuth). One extra tensor axis — the
+    TPU answer to a term that breaks plain label-correcting relaxation.
+
+    Returns (dist (G, B) cost-to-goal given arrival bin, edge_bins (G, K)).
+    """
+    g, k = nbr_idx.shape
+    b = n_dir_bins
+    big = jnp.float32(jnp.inf)
+    az = edge_azimuth(positions, nbr_idx)                  # (G, K)
+    bin_of_edge = jnp.mod(
+        jnp.floor((az + jnp.pi) / (2.0 * jnp.pi) * b).astype(jnp.int32), b)
+    centers = -jnp.pi + (jnp.arange(b, dtype=jnp.float32) + 0.5) * (2.0 * jnp.pi / b)
+
+    # θ(b_in, edge): |wrap(az_edge − center_b)| with the dead zone
+    dtheta = _theta_capped(jnp.abs(_wrap_angle(
+        az[:, :, None] - centers[None, None, :])))         # (G, K, B)
+
+    safe_idx = jnp.maximum(nbr_idx, 0)
+    dist0 = jnp.full((g, b), big).at[goal_idx, :].set(0.0)
+
+    def body(carry):
+        dist, _, it = carry
+        nd = dist[safe_idx]                                # (G, K, B)
+        nd_in = jnp.take_along_axis(
+            nd, bin_of_edge[:, :, None], axis=2)[:, :, 0]  # (G, K)
+        base = (nd_in + nbr_dist + enter_cost[safe_idx]
+                + avg_intensity[:, None])                  # (G, K)
+        base = jnp.where(nbr_valid, base, big)
+        cand = base[:, :, None] + turning_weight * dtheta  # (G, K, B)
+        new = jnp.minimum(dist, jnp.min(cand, axis=1))
+        new = new.at[goal_idx, :].set(0.0)
+        changed = jnp.any(new < dist)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    dist, _, _ = lax.while_loop(
+        cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    return dist, bin_of_edge
 
 
 def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
@@ -89,6 +178,40 @@ def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
     dist, _, iters = lax.while_loop(
         cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
     return WavefrontResult(dist=dist, reachable=jnp.isfinite(dist), iters=iters)
+
+
+def extract_path_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist_gb,
+                         bin_of_edge, start_idx, goal_idx, positions,
+                         turning_weight: float, *, max_len: int = 512):
+    """Greedy descent over the direction-expanded field: each step scores
+    successors with the EXACT reference turning angle from the actual
+    parent (`theta_reference`) plus the remaining cost at the successor's
+    arrival bin. Returns (indices, valid, length, ok)."""
+    safe_idx = jnp.maximum(nbr_idx, 0)
+    big = jnp.float32(jnp.inf)
+
+    def step(carry, _):
+        cur, prev, done = carry
+        v_idx = safe_idx[cur]                              # (K,)
+        nd = jnp.take_along_axis(dist_gb[v_idx], bin_of_edge[cur][:, None],
+                                 axis=1)[:, 0]             # (K,)
+        theta = theta_reference(positions[prev], positions[cur],
+                                positions[v_idx])
+        cand = (nd + nbr_dist[cur] + enter_cost[v_idx]
+                + turning_weight * theta)
+        cand = jnp.where(nbr_valid[cur], cand, big)
+        nxt = v_idx[jnp.argmin(cand)]
+        at_goal = cur == goal_idx
+        stuck = ~jnp.isfinite(jnp.min(cand))
+        new_done = done | at_goal | stuck
+        nxt = jnp.where(new_done, cur, nxt)
+        return (nxt, jnp.where(new_done, prev, cur), new_done), (cur, ~done)
+
+    (final, _, done), (idxs, valids) = lax.scan(
+        step, (start_idx, start_idx, jnp.asarray(False)), None, length=max_len)
+    ok = jnp.isfinite(jnp.min(dist_gb[start_idx])) & (final == goal_idx)
+    length = jnp.sum(valids)
+    return idxs, valids, length, ok
 
 
 def extract_path(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist, start_idx,
