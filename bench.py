@@ -1,55 +1,94 @@
-"""Headline benchmark: multi-robot sampling-MPC throughput on one chip.
+"""Benchmarks against BASELINE.md's target table.
 
-Scenario (BASELINE.json configs 1+4 hybrid): a fleet of diff-drive robots,
-each scoring a dense dynamic-window rollout grid against its own obstacle
-cloud and plan, closed-loop, 2 s horizon. Reference comparison point: the
-C++ stack evaluates ~50 rollouts per 10 Hz control tick per robot
-(≈500 rollouts/s/process, `p2p_move_base_localization.yaml:200-204`).
+Default run measures, on the real chip:
+  * headline (configs 1+4 hybrid): 64-robot closed-loop sampling-MPC
+    throughput — rollouts/s vs the reference's ~500 rollouts/s/process;
+  * config 2: ramp map, 4 s horizon, ~2k rollouts, with the FULL 3D
+    mark/clear perception update fused into every control tick;
+  * config 3: multi-level map, ~8k rollouts with a global replan
+    (turning-aware wavefront) inside every tick;
+  * batch-scaling efficiency on the chip (B=8 → B=64);
+and, in a CPU subprocess (multi-chip hardware is not available here):
+  * weak-scaling efficiency of the sharded fleet tick over an 8-device
+    virtual mesh (correctness-level proxy for ICI scaling; the virtual
+    devices share 2 physical cores, so this is a lower bound).
 
 Measurement notes (axon TPU tunnel):
   * `block_until_ready` does not reliably block on the experimental axon
-    platform — completion is forced by a host readback of the outputs.
-  * Any op compiled inside the timing loop may ride a remote-compile
-    queue with minutes of wait; everything is compiled up front.
-  * The closed-loop tick chain runs device-side under one `lax.scan`
-    dispatch, so the tunnel RTT (~0.7 s) amortizes across all ticks and
-    the measured time is device compute, not transport.
+    platform — completion is forced by host readbacks of outputs.
+  * Anything compiled in the timing loop may ride a remote-compile queue
+    (minutes); all programs compile up front, and compile seconds are
+    reported per config.
+  * Each closed-loop chain is ONE `lax.scan` dispatch, so the tunnel RTT
+    amortizes across its ticks: `tick_ms` is scan-amortized device time
+    per tick, NOT per-dispatch host latency. Per-dispatch latency on this
+    tunnel is transport-bound (~0.5 s RTT) and would measure the tunnel,
+    not the program — `p99_tick_ms` is therefore the p99 over per-chain
+    mean tick times across chains (device-time tail), reported alongside.
 
 Prints ONE JSON line:
   {"metric": "rollouts_per_s", "value": N, "unit": "rollouts/s",
-   "vs_baseline": N / 500, ...extras}
+   "vs_baseline": N/500, "config2": {...}, "config3": {...},
+   "scaling": {...}, ...}
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+BASELINE_ROLLOUTS_PER_S = 500.0   # reference: ~50 rollouts @ 10 Hz
+TICK_BUDGET_MS = 50.0             # 20 Hz p99 budget (BASELINE.md)
 
-def main():
-    import argparse
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--robots", type=int, default=64)
-    ap.add_argument("--ticks", type=int, default=50)
-    ap.add_argument("--obstacles", type=int, default=512)
-    ap.add_argument("--linear-samples", type=int, default=16)
-    ap.add_argument("--angular-samples", type=int, default=16)
-    ap.add_argument("--collision-backend", type=str, default="xla",
-                    choices=["xla", "auto", "pallas", "pallas_interpret"])
-    args = ap.parse_args()
-
+def _force(x):
     import numpy as np
-    import jax
-    import jax.numpy as jnp
+    return np.asarray(x)
 
+
+def _setup_jax():
+    import jax
+    # the ambient sitecustomize pins jax_platforms before env vars can act;
+    # honor an explicit JAX_PLATFORMS (e.g. cpu validation runs) manually
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
 
+
+def _time_chains(run, make_args, ticks, reps):
+    """Compile+warm once, then time `reps` chains; returns
+    (compile_s, per-tick seconds list, last outputs)."""
+    import numpy as np
+    t0 = time.perf_counter()
+    out = run(*make_args())
+    _ = [_force(o) for o in out]
+    compile_s = time.perf_counter() - t0
+    per_tick = []
+    for _rep in range(reps):
+        args = make_args()
+        t0 = time.perf_counter()
+        out = run(*args)
+        _ = [_force(o) for o in out]
+        per_tick.append((time.perf_counter() - t0) / ticks)
+    return compile_s, per_tick, out
+
+
+# ---------------------------------------------------------------------------
+# headline: configs 1+4 hybrid (64 robots, dense dynamic-window grid)
+# ---------------------------------------------------------------------------
+
+def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
+                   linear_samples=16, angular_samples=16):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from dddmr_navigation_tpu.config import (
         LocalPlannerConfig, DDSimpleGeneratorConfig)
     from dddmr_navigation_tpu.geometry import quat_from_yaw
@@ -57,105 +96,399 @@ def main():
     from dddmr_navigation_tpu.parallel.fleet import (
         FleetState, fleet_tick, integrate_fleet)
 
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
-
     cfg = LocalPlannerConfig(
         generator=DDSimpleGeneratorConfig(
-            linear_x_sample=args.linear_samples,
-            angular_z_sample=args.angular_samples,
+            linear_x_sample=linear_samples, angular_z_sample=angular_samples,
             max_num_steps=40),
-        max_obstacle_points=args.obstacles,
-        collision_obstacle_chunk=16,
-        collision_near_k=128,
-        collision_backend=args.collision_backend,
-    )
-    b = args.robots
+        max_obstacle_points=obstacles_n,
+        collision_obstacle_chunk=16, collision_near_k=128,
+        collision_backend="xla")
+    b = robots
     s_padded = cfg.generator.n_samples_padded
-    ticks = args.ticks
 
-    # per-robot sine plans offset in y so robots don't coincide
     xs = np.arange(0, 8.0, 0.1, dtype=np.float32)
-    plans_np = []
-    for i in range(b):
-        ys = 0.4 * np.sin(xs + i * 0.3) + 0.02 * i
-        plans_np.append(np.stack([xs, ys, np.zeros_like(xs)], 1))
+    plans_np = [np.stack([xs, 0.4 * np.sin(xs + i * 0.3) + 0.02 * i,
+                          np.zeros_like(xs)], 1) for i in range(b)]
     plan_leaves = [make_global_plan(p, max_len=cfg.max_plan_len)
                    for p in plans_np]
     plans = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *plan_leaves)
-
     rng = np.random.default_rng(0)
-    obstacles = rng.uniform([1.0, -2, 0], [8, 2, 0.5],
-                            size=(b, args.obstacles, 3)).astype(np.float32)
-    obs_valid = jnp.ones((b, args.obstacles), bool)
-    obstacles = jnp.asarray(obstacles)
-
+    obstacles = jnp.asarray(rng.uniform(
+        [1.0, -2, 0], [8, 2, 0.5], size=(b, obstacles_n, 3)).astype(np.float32))
+    obs_valid = jnp.ones((b, obstacles_n), bool)
     dt = 1.0 / cfg.controller_frequency
 
-    def one_tick(state, _):
+    def one_tick(state, plans, obstacles, obs_valid):
         vx, wz, codes, costs = fleet_tick(cfg, plans, state, obstacles,
                                           obs_valid)
         new_state = integrate_fleet(state, vx, wz, dt)
-        found = jnp.sum(costs >= 0).astype(jnp.int32)
-        return new_state, (found, jnp.sum(jnp.where(costs >= 0, costs, 0.0)))
+        return new_state, jnp.sum(costs >= 0).astype(jnp.int32)
 
-    # NOTE: plans/obstacles must be ARGUMENTS, not closure captures — jit'd
-    # closure constants of this size cost ~30 ms per dispatch (measured
-    # 277x slowdown on this stack). They are closed over inside one_tick
-    # but threaded through run() as explicit args below.
+    # plans/obstacles are explicit ARGUMENTS (donated activations would
+    # otherwise become jit closure constants costing ~30 ms per dispatch)
     @jax.jit
-    def run(state):
-        final, (found, cost_sums) = jax.lax.scan(one_tick, state, None,
-                                                 length=ticks)
-        return final.pos, found, cost_sums
+    def run(state, plans, obstacles, obs_valid):
+        def body(s, _):
+            s2, found = one_tick(s, plans, obstacles, obs_valid)
+            return s2, found
+        final, found = jax.lax.scan(body, state, None, length=ticks)
+        return final.pos, found
 
-    def fresh_state():
-        return FleetState(
+    def make_args():
+        state = FleetState(
             pos=jnp.asarray(np.stack([np.zeros(b), 0.02 * np.arange(b),
                                       np.zeros(b)], 1), jnp.float32),
             quat=jnp.broadcast_to(quat_from_yaw(jnp.float32(0.0)), (b, 4)),
             v=jnp.zeros((b,)), w=jnp.zeros((b,)))
+        return state, plans, obstacles, obs_valid
 
-    # warmup / compile (readback forces completion — see module docstring)
-    t0 = time.perf_counter()
-    pos, found, cost_sums = run(fresh_state())
-    found_w = np.asarray(found)
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
-
-    # timed: readback-to-readback over the whole scanned tick chain
-    reps = 3
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        pos, found, cost_sums = run(fresh_state())
-        found_np = np.asarray(found)      # forces device completion
-        _ = np.asarray(cost_sums)
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    per_tick = elapsed / ticks
-
-    found_total = int(found_np.sum())
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    import numpy as np
     rollouts_per_tick = b * s_padded
-    rps = rollouts_per_tick / per_tick
-    print(f"robots={b} samples/robot={s_padded} "
-          f"rollouts/tick={rollouts_per_tick} found={found_total}",
-          file=sys.stderr)
-    print(f"tick={1e3*per_tick:.2f}ms rollouts/s={rps:,.0f} "
-          f"(best of {reps} x {ticks}-tick chains)", file=sys.stderr)
+    best = min(per_tick)
+    return {
+        "rollouts_per_s": rollouts_per_tick / best,
+        "tick_ms": 1e3 * best,
+        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        "rollouts_per_tick": rollouts_per_tick,
+        "robots": b,
+        "found": int(_force(out[1]).sum()),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 2: ramp map + FULL 3D mark/clear fused into the control tick
+# ---------------------------------------------------------------------------
+
+def bench_config2(ticks=30, reps=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config import (
+        LocalPlannerConfig, DDSimpleGeneratorConfig)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.io.maps import ramp_ground_map
+    from dddmr_navigation_tpu.planning.local.planner import (
+        make_global_plan, compute_velocity_command)
+    from dddmr_navigation_tpu.perception.voxel import VoxelSpec
+    from dddmr_navigation_tpu.perception.fov import RangeImageSpec
+    from dddmr_navigation_tpu.perception.static_map import build_map_context
+    from dddmr_navigation_tpu.perception.marking import (
+        MarkingParams, init_marking_state, perception_update)
+    from dddmr_navigation_tpu.utils.lidar_sim import BoxWorld, simulate_scan
+
+    # BASELINE config 2: ramp map, 4 s horizon, ~2k rollouts, 16-line lidar
+    cfg = LocalPlannerConfig(
+        generator=DDSimpleGeneratorConfig(
+            linear_x_sample=42, angular_z_sample=46,   # 43*47 = 2021
+            sim_time=4.0, max_num_steps=80),
+        max_obstacle_points=2048,
+        collision_obstacle_chunk=16, collision_near_k=128)
+    ground = ramp_ground_map()
+    map_ctx = build_map_context(ground)
+    spec = VoxelSpec(nx=128, ny=128, nz=44, xy_resolution=0.05,
+                     height_resolution=0.05)
+    ri = RangeImageSpec(rows=16, cols=1000, elev_min_deg=-15.0,
+                        elev_max_deg=15.0)
+    # full-circle effective scan (the synthetic lidar has no mast shadow)
+    params = MarkingParams(scan_effective_positive_start=0.0,
+                           scan_effective_negative_start=0.0)
+
+    world = BoxWorld().add_box([2.0, -1.0, 0.0], [2.4, 1.0, 1.5])
+    robot = np.array([0.0, 0.0, 0.0], np.float32)
+    scan_pts, scan_mask = simulate_scan(world, robot + [0, 0, 0.5],
+                                        n_rings=16, n_cols=1000)
+    scan_pts = scan_pts + robot[None, :] + np.array([0, 0, 0.5], np.float32)
+    scan_mask = scan_mask & (scan_pts[:, 2] >= 0.15)
+
+    xs = np.arange(0, 8.0, 0.1, dtype=np.float32)
+    plan = make_global_plan(
+        np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1),
+        max_len=cfg.max_plan_len)
+    k = cfg.max_obstacle_points
+    obs = np.zeros((k, 3), np.float32)
+    sel = scan_pts[scan_mask][:k]
+    obs[:len(sel)] = sel
+    obs_mask = np.zeros((k,), bool)
+    obs_mask[:len(sel)] = True
+
+    state0 = init_marking_state(spec, params, len(ground))
+    rq = jnp.asarray(np.asarray(quat_from_yaw(jnp.float32(0.0))))
+    rp = jnp.asarray(robot)
+    sp = rp + jnp.asarray([0.0, 0.0, 0.5])
+
+    @jax.jit
+    def run(mstate, scan, smask, plan, obs, obs_mask):
+        def body(s, _):
+            s2 = perception_update(spec, ri, params, s, map_ctx, scan,
+                                   smask, rp, rq, sp, rq)
+            cmd = compute_velocity_command(
+                cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
+                obs, obs_mask)
+            return s2, (cmd.vx, jnp.sum(s2.grid))
+        final, (vxs, marks) = jax.lax.scan(body, mstate, None, length=ticks)
+        return final.dgraph, vxs, marks
+
+    def make_args():
+        return (state0, jnp.asarray(scan_pts), jnp.asarray(scan_mask), plan,
+                jnp.asarray(obs), jnp.asarray(obs_mask))
+
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    best = min(per_tick)
+    s_padded = cfg.generator.n_samples_padded
+    return {
+        "tick_ms": 1e3 * best,
+        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        "rollouts_per_tick": s_padded,
+        "marked_voxels": int(_force(out[2])[-1]),
+        "under_budget": bool(1e3 * best < TICK_BUDGET_MS),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 3: multi-level map, 8k rollouts + global replan inside every tick
+# ---------------------------------------------------------------------------
+
+def bench_config3(ticks=20, reps=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config import (
+        LocalPlannerConfig, DDSimpleGeneratorConfig, GlobalPlannerConfig,
+        NavigationConfig)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.io.maps import ramp_ground_map
+    from dddmr_navigation_tpu.planning.local.planner import (
+        make_global_plan, compute_velocity_command)
+    from dddmr_navigation_tpu.planning.global_.graph import build_ground_graph
+    from dddmr_navigation_tpu.planning.global_.wavefront import (
+        node_costs, wavefront_distances_turning)
+
+    cfg = LocalPlannerConfig(
+        generator=DDSimpleGeneratorConfig(
+            linear_x_sample=63, angular_z_sample=127,   # 64*128 = 8192
+            max_num_steps=40),
+        max_obstacle_points=512,
+        collision_obstacle_chunk=16, collision_near_k=128)
+    ground = ramp_ground_map()          # flat → ramp → upper floor
+    g = len(ground)
+    graph = build_ground_graph(ground, radius=0.5, k_max=16)
+
+    rng = np.random.default_rng(1)
+    obstacles = jnp.asarray(rng.uniform(
+        [1, -2, 0], [8, 2, 0.5], size=(512, 3)).astype(np.float32))
+    obs_mask = jnp.ones((512,), bool)
+    xs = np.arange(0, 8.0, 0.1, dtype=np.float32)
+    plan = make_global_plan(
+        np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1),
+        max_len=cfg.max_plan_len)
+    rq = jnp.asarray(np.asarray(quat_from_yaw(jnp.float32(0.0))))
+    rp = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    goal_idx = int(np.argmax(ground[:, 0]))
+
+    nbr_idx = jnp.asarray(graph.nbr_idx)
+    nbr_dist = jnp.asarray(graph.nbr_dist)
+    nbr_valid = jnp.asarray(graph.nbr_valid)
+    avg_int = jnp.asarray(graph.avg_intensity)
+    positions = jnp.asarray(ground)
+
+    @jax.jit
+    def run(dgraph0, plan, obstacles, obs_mask):
+        def body(dgraph, _):
+            enter = node_costs(dgraph, jnp.zeros((g,)),
+                               inscribed_radius=0.5,
+                               inflation_descending_rate=2.0)
+            dist_gb, _bins = wavefront_distances_turning(
+                nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
+                positions, 0.1, n_dir_bins=16, max_iters=192)
+            cmd = compute_velocity_command(
+                cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
+                obstacles, obs_mask)
+            # feed a whiff of the plan cost back so the scan can't DCE it
+            d = dgraph + 0.0 * jnp.min(dist_gb)
+            return d, (cmd.vx, jnp.min(dist_gb))
+        final, (vxs, dists) = jax.lax.scan(body, dgraph0, None, length=ticks)
+        return final, vxs, dists
+
+    def make_args():
+        return (jnp.full((g,), 9999.0), plan, obstacles, obs_mask)
+
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    best = min(per_tick)
+    s_padded = cfg.generator.n_samples_padded
+    return {
+        "tick_ms": 1e3 * best,
+        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        "rollouts_per_tick": s_padded,
+        "solves_per_s": 1.0 / best,      # one full replan per tick
+        "ground_nodes": g,
+        "under_budget": bool(1e3 * best < TICK_BUDGET_MS),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling
+# ---------------------------------------------------------------------------
+
+def bench_batch_scaling(small=8, large=64, ticks=50, reps=4):
+    """Single-chip batch scaling: rollouts/s at B=small vs B=large.
+    Efficiency near (large/small)× throughput shows the chip wasn't
+    saturated at small batch; near 1× shows it was."""
+    r_small = bench_headline(robots=small, ticks=ticks, reps=reps)
+    r_large = bench_headline(robots=large, ticks=ticks, reps=reps)
+    speedup = r_large["rollouts_per_s"] / max(r_small["rollouts_per_s"], 1.0)
+    return {
+        "small_robots": small, "large_robots": large,
+        "small_rollouts_per_s": round(r_small["rollouts_per_s"]),
+        "large_rollouts_per_s": round(r_large["rollouts_per_s"]),
+        "throughput_ratio": round(speedup, 2),
+        "ideal_ratio": large / small,
+    }
+
+
+_SCALING_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", {ndev})
+import numpy as np
+import jax.numpy as jnp
+from dddmr_navigation_tpu.config import LocalPlannerConfig, DDSimpleGeneratorConfig
+from dddmr_navigation_tpu.geometry import quat_from_yaw
+from dddmr_navigation_tpu.planning.local.planner import make_global_plan
+from dddmr_navigation_tpu.parallel.fleet import (
+    FleetState, make_fleet_mesh, sharded_fleet_tick, shard_fleet_arrays)
+
+ndev = {ndev}
+per_dev = {per_dev}
+b = ndev * per_dev
+cfg = LocalPlannerConfig(
+    generator=DDSimpleGeneratorConfig(linear_x_sample=16, angular_z_sample=16,
+                                      max_num_steps=40),
+    max_obstacle_points=512, collision_obstacle_chunk=16,
+    collision_near_k=128)
+xs = np.arange(0, 8.0, 0.1, dtype=np.float32)
+plans = [make_global_plan(np.stack([xs, 0.4*np.sin(xs+i*0.3), np.zeros_like(xs)],1),
+                          max_len=cfg.max_plan_len) for i in range(b)]
+plans = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *plans)
+rng = np.random.default_rng(0)
+obstacles = jnp.asarray(rng.uniform([1,-2,0],[8,2,0.5],size=(b,512,3)).astype(np.float32))
+obs_valid = jnp.ones((b,512), bool)
+state = FleetState(pos=jnp.zeros((b,3)),
+                   quat=jnp.broadcast_to(quat_from_yaw(jnp.float32(0.0)), (b,4)),
+                   v=jnp.zeros((b,)), w=jnp.zeros((b,)))
+mesh = make_fleet_mesh(ndev)
+tick = sharded_fleet_tick(cfg, mesh)
+args = shard_fleet_arrays(mesh, (plans, state, obstacles, obs_valid))
+out = tick(*args)
+_ = np.asarray(out[3])
+times = []
+for _i in range(6):
+    t0 = time.perf_counter()
+    out = tick(*args)
+    _ = np.asarray(out[3])
+    times.append(time.perf_counter() - t0)
+print(json.dumps({{"ndev": ndev, "robots": b, "tick_s": min(times)}}))
+"""
+
+
+def bench_virtual_mesh_scaling(per_dev=8):
+    """Weak scaling on an 8-device VIRTUAL CPU mesh (the only multi-device
+    substrate available; devices share 2 physical cores, so this is a
+    lower bound and chiefly proves the sharded program + collectives).
+    Efficiency = t(1 dev, N robots) / t(8 dev, 8N robots); ideal 1.0."""
+    results = {}
+    for ndev in (1, 8):
+        script = _SCALING_CHILD.format(ndev=ndev, per_dev=per_dev)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else "{}"
+        try:
+            results[ndev] = json.loads(line)
+        except json.JSONDecodeError:
+            return {"error": proc.stderr[-500:]}
+    t1 = results[1]["tick_s"]
+    t8 = results[8]["tick_s"]
+    return {
+        "substrate": "virtual-8-device CPU mesh (2 physical cores)",
+        "per_device_robots": per_dev,
+        "tick_s_1dev": round(t1, 4),
+        "tick_s_8dev": round(t8, 4),
+        "weak_scaling_efficiency": round(t1 / t8, 3),
+    }
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["config2", "config3", "scaling", "batch"])
+    ap.add_argument("--only", default=None,
+                    choices=["headline", "config2", "config3", "scaling",
+                             "batch"],
+                    help="run a single phase (cache-warming / debugging)")
+    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=6)
+    args = ap.parse_args()
+    if args.only is not None:
+        skip_all = {"config2", "config3", "scaling", "batch"}
+        args.skip = list(skip_all - {args.only})
+
+    jax = _setup_jax()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    if args.only in (None, "headline", "batch"):
+        head = bench_headline(ticks=args.ticks, reps=args.reps)
+        print(f"headline: {head['rollouts_per_s']:,.0f} rollouts/s "
+              f"tick={head['tick_ms']:.2f}ms compile={head['compile_s']}s",
+              file=sys.stderr)
+    else:   # --only <phase>: stub headline so the phase dominates the run
+        head = {"rollouts_per_s": 0.0, "tick_ms": 0.0, "p99_tick_ms": 0.0,
+                "rollouts_per_tick": 0, "robots": 0, "compile_s": 0.0}
+
+    extras = {}
+    for name, fn in (("config2", bench_config2), ("config3", bench_config3),
+                     ("batch_scaling", bench_batch_scaling),
+                     ("scaling", bench_virtual_mesh_scaling)):
+        key = "batch" if name == "batch_scaling" else name
+        if key in args.skip:
+            continue
+        try:
+            extras[name] = fn()
+            print(f"{name}: {extras[name]}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - keep the JSON flowing
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name} FAILED: {e}", file=sys.stderr)
 
     out = {
         "metric": "rollouts_per_s",
-        "value": round(rps),
+        "value": round(head["rollouts_per_s"]),
         "unit": "rollouts/s",
-        "vs_baseline": round(rps / 500.0, 2),
-        "tick_ms": round(1e3 * per_tick, 3),
-        "rollouts_per_tick": rollouts_per_tick,
-        "robots": b,
-        "ticks_per_chain": ticks,
-        "tick_budget_ms": 50.0,
-        "tick_under_budget": bool(1e3 * per_tick < 50.0),
+        "vs_baseline": round(head["rollouts_per_s"]
+                             / BASELINE_ROLLOUTS_PER_S, 2),
+        "tick_ms": round(head["tick_ms"], 3),
+        "p99_tick_ms": round(head["p99_tick_ms"], 3),
+        "tick_ms_note": ("scan-amortized device time per tick; p99 over "
+                         "per-chain means (per-dispatch latency on the "
+                         "axon tunnel is transport-bound)"),
+        "rollouts_per_tick": head["rollouts_per_tick"],
+        "robots": head["robots"],
+        "tick_budget_ms": TICK_BUDGET_MS,
+        "tick_under_budget": bool(head["tick_ms"] < TICK_BUDGET_MS),
+        "compile_s": head["compile_s"],
         "device": f"{dev.platform}:{dev.device_kind}",
+        **extras,
     }
     print(json.dumps(out))
 

@@ -188,13 +188,25 @@ class MoveBaseDriver:
                                    jnp.float32(v), jnp.float32(w), obstacles,
                                    obs_valid, jnp.float32(allowed_max_speed),
                                    jnp.float32(0.0))
-        in_goal_align = int(self.fsm.decision) == Decision.D_ALIGN_GOAL_HEADING
-        rot_hd = ghd if in_goal_align else hd
-        cmd_rotate = self._jit_cmd(lcfg, plan_for_cmd, robot_pos, robot_quat,
-                                   jnp.float32(v), jnp.float32(w), obstacles,
-                                   obs_valid, jnp.float32(-1.0),
-                                   jnp.float32(rot_hd),
-                                   "differential_drive_rotate_shortest_angle")
+        # the rotate generator only feeds the align states (the FSM reads
+        # ps_rotate/CmdSource.ROTATE nowhere else) — skip its dispatch on
+        # every other tick
+        decision_now = int(self.fsm.decision)
+        in_goal_align = decision_now == Decision.D_ALIGN_GOAL_HEADING
+        in_any_align = in_goal_align or (
+            decision_now == Decision.D_ALIGN_HEADING)
+        if in_any_align:
+            rot_hd = ghd if in_goal_align else hd
+            cmd_rotate = self._jit_cmd(
+                lcfg, plan_for_cmd, robot_pos, robot_quat,
+                jnp.float32(v), jnp.float32(w), obstacles, obs_valid,
+                jnp.float32(-1.0), jnp.float32(rot_hd),
+                "differential_drive_rotate_shortest_angle")
+            ps_rotate = cmd_rotate.state
+        else:
+            cmd_rotate = None
+            ps_rotate = jnp.asarray(int(PlannerState.TRAJECTORY_FOUND),
+                                    jnp.int32)   # unread outside align
 
         # path-blocked opinion overrides TRAJECTORY_FOUND
         # (`local_planner.cpp:597-608`)
@@ -213,7 +225,7 @@ class MoveBaseDriver:
             initial_heading_aligned=init_aligned,
             goal_heading_aligned=goal_aligned,
             ps_simple=jnp.asarray(ps_simple, jnp.int32),
-            ps_rotate=cmd_rotate.state,
+            ps_rotate=ps_rotate,
             recovery_active=jnp.asarray(self.recovery is not None),
             recovery_succeed=jnp.asarray(self.recovery_succeed))
         self.fsm, out = self._jit_fsm(self.cfg.move_base, self.fsm, x)
@@ -225,7 +237,7 @@ class MoveBaseDriver:
         src = int(out.cmd_source)
         if src == CmdSource.SIMPLE:
             vx, wz = float(cmd_simple.vx), float(cmd_simple.wz)
-        elif src == CmdSource.ROTATE:
+        elif src == CmdSource.ROTATE and cmd_rotate is not None:
             vx, wz = float(cmd_rotate.vx), float(cmd_rotate.wz)
         else:
             vx, wz = 0.0, 0.0

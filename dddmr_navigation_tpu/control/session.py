@@ -42,6 +42,10 @@ from dddmr_navigation_tpu.perception.marking import (
     MarkingParams, init_marking_state, perception_update)
 from dddmr_navigation_tpu.perception.layers import (
     min_dgraph, no_entry_dgraph, speed_limit_at)
+from dddmr_navigation_tpu.perception.depth_camera import (
+    CameraModel, init_depth_buffer, push_observation,
+    buffer_as_observations, clear_with_frustums, mark_depth_points)
+from dddmr_navigation_tpu.perception.marking import update_dgraph
 from dddmr_navigation_tpu.planning.global_.los import lethal_cloud_from_dgraph
 from dddmr_navigation_tpu.control.move_base import MoveBaseDriver
 from dddmr_navigation_tpu.runtime.watchdog import FreshnessGate
@@ -57,7 +61,12 @@ class NavigationSession:
                  no_entry_zones: Optional[np.ndarray] = None,
                  speed_zones: Optional[tuple] = None,
                  threaded_plan_manager: bool = False,
-                 sensor_offset=(0.0, 0.0, 0.5)):
+                 sensor_offset=(0.0, 0.0, 0.5),
+                 depth_cameras: int = 0,
+                 depth_camera_model: Optional[CameraModel] = None,
+                 depth_buffer_depth: int = 3,
+                 depth_max_points: int = 1024,
+                 depth_keep_time: float = 0.5):
         self.cfg = cfg
         p = cfg.perception
         self.ground = np.asarray(ground, np.float32)
@@ -126,7 +135,72 @@ class NavigationSession:
         self.stitcher = ScanStitcher(p.lidar.stitcher_num,
                                      pad_to=p.lidar.max_scan_points)
 
+        # depth-camera layer: its own marking grid + dGraph (per-plugin
+        # separation like the reference's stacked plugins), cleared by the
+        # buffered-frustum test and min-composed below
+        self.n_depth_cameras = depth_cameras
+        if depth_cameras > 0:
+            self.depth_cam = depth_camera_model or CameraModel()
+            self.depth_keep_time = depth_keep_time
+            self.depth_buffer = init_depth_buffer(
+                depth_cameras, depth_buffer_depth, depth_max_points)
+            self.depth_marking = init_marking_state(self.spec, self.params, g)
+            self._depth_max_points = depth_max_points
+            self._jit_depth = jax.jit(self._depth_update_impl)
+
     # ------------------------------------------------------------------
+    def _depth_update_impl(self, marking, latest_obs, all_obs, all_live,
+                           robot_pos, robot_quat, map_ctx):
+        """Depth layer tick: clear vs ALL live buffered frustums
+        (`depth_camera_layer.cpp:226-456`), mark from the LATEST
+        observations only, recompute the layer dGraph. ``map_ctx`` is an
+        argument (not a closure constant) so the big map arrays don't ride
+        every dispatch."""
+        grid = clear_with_frustums(self.spec, self.depth_cam, marking.grid,
+                                   marking.origin, all_obs, live=all_live)
+        grid = mark_depth_points(self.spec, grid, marking.origin, latest_obs,
+                                 robot_pos[2], self.params.marking_height)
+        dgraph = update_dgraph(self.spec, self.params, grid, marking.origin,
+                               marking.dgraph, map_ctx, robot_pos,
+                               robot_quat)
+        return marking._replace(grid=grid, dgraph=dgraph)
+
+    def push_depth_observation(self, cam_idx: int, cam_pos, cam_quat,
+                               points, now):
+        """Buffer one camera frame (world-frame points), padded to the
+        configured size (`bufferCloud`)."""
+        pts = np.asarray(points, np.float32)[:self._depth_max_points]
+        pad = np.zeros((self._depth_max_points, 3), np.float32)
+        pad[:len(pts)] = pts
+        mask = np.zeros((self._depth_max_points,), bool)
+        mask[:len(pts)] = True
+        self.depth_buffer = push_observation(
+            self.depth_buffer, cam_idx, jnp.asarray(cam_pos, jnp.float32),
+            jnp.asarray(cam_quat, jnp.float32), jnp.asarray(pad),
+            jnp.asarray(mask), jnp.asarray(now, jnp.float32))
+
+    def _depth_tick(self, robot_pos, robot_quat, now):
+        from dddmr_navigation_tpu.perception.depth_camera import (
+            DepthCameraObservation, live_observations)
+        all_obs, all_live = buffer_as_observations(
+            self.depth_buffer, now, self.depth_keep_time)
+        # latest live slot per camera = the most recent stamp
+        buf = self.depth_buffer
+        live = live_observations(buf, now, self.depth_keep_time)
+        stamp = jnp.where(live, buf.stamp, -jnp.inf)
+        newest = jnp.argmax(stamp, axis=1)                     # (C,)
+        cams = jnp.arange(buf.stamp.shape[0])
+        latest = DepthCameraObservation(
+            cam_pos=buf.cam_pos[cams, newest],
+            cam_quat=buf.cam_quat[cams, newest],
+            points=buf.points[cams, newest],
+            mask=buf.mask[cams, newest]
+            & jnp.any(live, axis=1)[:, None])
+        self.depth_marking = self._jit_depth(
+            self.depth_marking, latest, all_obs, all_live,
+            jnp.asarray(robot_pos, jnp.float32),
+            jnp.asarray(robot_quat, jnp.float32), self.map_ctx)
+
     def set_goal(self, goal_pos, now=0.0, goal_quat=None):
         self.driver.set_goal(goal_pos, now=now, goal_quat=goal_quat)
 
@@ -206,7 +280,11 @@ class NavigationSession:
                 robot_quat_j, jnp.asarray(sensor_pos), robot_quat_j)
 
         # --- stacked composition -----------------------------------------
+        if self.n_depth_cameras > 0:
+            self._depth_tick(robot_pos, robot_quat, now)
         fields = [self.static_dgraph, self.marking.dgraph]
+        if self.n_depth_cameras > 0:
+            fields.append(self.depth_marking.dgraph)
         if self.no_entry_enabled:
             fields.append(self.no_entry_field)
         self.composed_dgraph = min_dgraph(*fields)

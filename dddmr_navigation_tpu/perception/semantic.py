@@ -108,3 +108,62 @@ def segmentation_to_pointcloud(depth, class_mask, fx, fy, cx, cy,
         keep = jnp.isin(class_mask.reshape(-1), jnp.asarray(keep_classes))
         valid = valid & keep
     return jnp.concatenate([pts, cls[:, None]], axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
+# weights story: training + checkpointing
+# ---------------------------------------------------------------------------
+# The reference deploys a PRE-BUILT DDRNet TensorRT engine — its weights
+# story is "bring an engine file" (`scripts/trt_interface.py:16-30`). The
+# TPU equivalents: (a) fine-tune/train the flax module here (one fused
+# jitted step; scale = `jax.pmap`/sharding over the batch axis), and
+# (b) serialize/restore params with the runtime checkpoint machinery, the
+# analogue of shipping the .trt file.
+
+def softmax_ce_loss(model, params, rgb, labels, ignore_id: int = 255):
+    """Per-pixel cross entropy with an ignore label (the Mapillary/
+    Cityscapes convention the reference's class CSVs follow)."""
+    logits = model.apply(params, rgb)
+    logits = jax.image.resize(
+        logits, rgb.shape[:3] + (logits.shape[-1],), "bilinear")
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = labels != ignore_id
+    safe = jnp.where(valid, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_train_step(model, learning_rate: float = 1e-3):
+    """Returns (opt_state_init, jitted step): step(params, opt_state,
+    rgb, labels) → (params, opt_state, loss)."""
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(params, opt_state, rgb, labels):
+        loss, grads = jax.value_and_grad(
+            lambda p: softmax_ce_loss(model, p, rgb, labels))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return tx.init, step
+
+
+def save_params(path: str, params) -> None:
+    """Serialize trained weights (the deployment artifact, like the
+    reference's .trt engine file)."""
+    import numpy as np
+    flat, _treedef = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez_compressed(path, **arrays)
+
+
+def load_params(path: str, template_params):
+    """Restore weights into a params pytree of the same structure."""
+    import numpy as np
+    with np.load(path) as data:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+        leaves = [jnp.asarray(data[jax.tree_util.keystr(k)])
+                  for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

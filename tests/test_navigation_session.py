@@ -190,3 +190,49 @@ def test_perception_malfunction_on_scan_dropout(session_ctx):
     vx, wz, dec, done, ok = sess.tick(pts, mask, robot, quat, 0.3, 0.0,
                                       now=t + 0.1, tf_age=3.0)
     assert (vx, wz) == (0.0, 0.0)
+
+
+@pytest.mark.slow
+def test_depth_camera_layer_in_session(session_ctx):
+    """Multi-camera depth layer inside the stacked session: camera 0's
+    observation marks a wall into the composed dGraph; camera 1 later sees
+    through that volume and the buffered-frustum clearing relaxes it
+    (cross-camera clearing, `stacked_perception.cpp:72-90`)."""
+    cfg, ground = session_ctx
+    sess = NavigationSession(cfg, ground, depth_cameras=2,
+                             depth_keep_time=1.0)
+    robot = np.array([-2.0, 0.0, 0.0], np.float32)
+    quat = np.asarray(quat_from_yaw(jnp.float32(0.0)))
+    sess.set_goal([3.0, 0.0, 0.0])
+    room = _room()
+
+    # camera 0 at the robot, looking +x: a depth wall 1.5 m ahead
+    ys, zs = np.meshgrid(np.linspace(-0.5, 0.5, 14),
+                         np.linspace(0.2, 0.9, 8))
+    wall = np.stack([np.full(ys.size, robot[0] + 1.5),
+                     ys.ravel(), zs.ravel()], 1).astype(np.float32)
+    cam_pos = robot + [0, 0, 0.4]
+    sess.push_depth_observation(0, cam_pos, quat, wall, now=0.0)
+    pts, mask = _scan(room, robot, 0.0)
+    sess.tick(pts, mask, robot, quat, 0.0, 0.0, now=0.05)
+    dg = np.asarray(sess.composed_dgraph)
+    near = np.linalg.norm(ground[:, :2] - [robot[0] + 1.5, 0.0], axis=1) < 0.4
+    assert (dg[near] < cfg.perception.inscribed_radius).any(), \
+        "depth wall not marked in the composed dGraph"
+
+    # the wall vanishes; camera 1 (slightly behind) sees through to 2.4 m.
+    # Camera 0's buffered observation still ATTACHES the voxels while it
+    # lives (`frustum_utils.cpp:219-291` re-observation keeps marks), so
+    # the relax can only happen after its keep_time (1 s) expires.
+    far = np.stack([np.full(8, robot[0] + 2.4),
+                    np.linspace(-0.5, 0.5, 8),
+                    np.full(8, 0.4)], 1).astype(np.float32)
+    for k in range(3):
+        t = 1.2 + 0.1 * k
+        sess.push_depth_observation(1, robot + [-0.2, 0, 0.4], quat, far,
+                                    now=t)
+        pts, mask = _scan(room, robot, 0.0)
+        sess.tick(pts, mask, robot, quat, 0.0, 0.0, now=t + 0.05)
+    dg = np.asarray(sess.composed_dgraph)
+    assert (dg[near] > cfg.perception.inscribed_radius).all(), \
+        "cross-camera frustum clearing did not relax the depth marks"

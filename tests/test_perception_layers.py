@@ -261,3 +261,36 @@ def test_multi_camera_buffer_clears_cross_camera():
     obs, live = buffer_as_observations(buf, now=0.1, keep_time=1.0)
     g = clear_with_frustums(spec, CAM, grid, origin, obs, live=live)
     assert int(jnp.sum(g)) < 0.2 * n0
+
+
+def test_semantic_training_and_checkpoint(tmp_path):
+    """Weights story (VERDICT r1 item 59): the segmenter trains (loss
+    decreases on a synthetic separable task) and round-trips through the
+    params checkpoint (the .trt-engine analogue)."""
+    import jax
+    from dddmr_navigation_tpu.perception.semantic import (
+        init_segmenter, infer_classes, make_train_step, save_params,
+        load_params)
+    model, params = init_segmenter(jax.random.PRNGKey(0), height=32,
+                                   width=32, num_classes=3, net_width=8)
+    # synthetic task: class = brightness band of the input
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    labels = (rgb.mean(-1) * 3).astype(np.int32).clip(0, 2)
+    init_opt, step = make_train_step(model, learning_rate=3e-3)
+    opt_state = init_opt(params)
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(rgb), jnp.asarray(labels))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+    path = str(tmp_path / "seg_params.npz")
+    save_params(path, params)
+    _, fresh = init_segmenter(jax.random.PRNGKey(1), height=32, width=32,
+                              num_classes=3, net_width=8)
+    restored = load_params(path, fresh)
+    out_a = np.asarray(infer_classes(model, params, jnp.asarray(rgb)))
+    out_b = np.asarray(infer_classes(model, restored, jnp.asarray(rgb)))
+    np.testing.assert_array_equal(out_a, out_b)
