@@ -1,4 +1,7 @@
+import os
+
 import numpy as np
+import pytest
 
 from dddmr_navigation_tpu.io import read_pcd, write_pcd, flat_ground_map, corridor_map, voxel_downsample
 from dddmr_navigation_tpu.io.maps import box_obstacle
@@ -96,3 +99,25 @@ mcl_3dl:
     assert cfg.perception.inscribed_radius == 0.4
     assert cfg.perception.lidar.xy_resolution == 0.1
     assert cfg.mcl.num_particles == 30
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src/dddmr_p2p_move_base/config"),
+    reason="reference configs not mounted")
+@pytest.mark.parametrize("name", [
+    "p2p_move_base_localization.yaml", "p2p_move_base_mapping.yaml",
+    "p2p_wo_mcl.yaml", "go2_localization.yaml", "go2_mapping.yaml"])
+def test_all_reference_yamls_ingest(name):
+    """Every deployment YAML the reference ships parses into the typed
+    config with sane values (not just the canonical one)."""
+    from dddmr_navigation_tpu.config import load_yaml_config
+    cfg = load_yaml_config(
+        f"/root/reference/src/dddmr_p2p_move_base/config/{name}")
+    assert cfg.move_base.controller_frequency > 0
+    assert cfg.perception.inscribed_radius > 0
+    gen = cfg.local_planner.generator
+    assert gen.limits.max_vel_x > 0
+    assert gen.sim_time > 0
+    assert cfg.global_planner.a_star_expanding_radius > 0
+    assert cfg.move_base.global_planner_action_name in (
+        "get_plan", "get_dwa_plan")

@@ -114,3 +114,24 @@ def test_checkpoint_manager_rotation(tmp_path):
     import os
     slots = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
     assert len(slots) == 2
+
+
+def test_viz_dump_renders_debug_ring(tmp_path):
+    """The rviz-topic observability analogue: DebugDumper npz ring →
+    rendered PNG frames (tools/viz_dump.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from dddmr_navigation_tpu.runtime.tracing import DebugDumper
+    from tools.viz_dump import render_dump_dir
+    from dddmr_navigation_tpu.io import flat_ground_map
+
+    ground = flat_ground_map(6, 4, 0.5)
+    dump = DebugDumper(str(tmp_path / "ring"), keep=4)
+    for t in range(3):
+        dump.dump(t, ground=ground,
+                  dgraph=np.full((len(ground),), 9999.0),
+                  robot=np.array([0.0, 0.0, 0.0]),
+                  plan=np.zeros((5, 3)))
+    outs = render_dump_dir(str(tmp_path / "ring"), str(tmp_path / "png"))
+    assert len(outs) == 3
+    assert all(os.path.getsize(p) > 10_000 for p in outs)
