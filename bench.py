@@ -351,7 +351,7 @@ def bench_batch_scaling(small=8, large=64, ticks=50, reps=4):
 
 _SCALING_CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.getcwd())   # launched with cwd = repo root
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", {ndev})
@@ -419,12 +419,16 @@ def bench_virtual_mesh_scaling(per_dev=8):
             return {"error": proc.stderr[-500:]}
     t1 = results[1]["tick_s"]
     t8 = results[8]["tick_s"]
+    cores = os.cpu_count() or 1
     return {
-        "substrate": "virtual-8-device CPU mesh (2 physical cores)",
+        "substrate": f"virtual-8-device CPU mesh ({cores} physical cores)",
         "per_device_robots": per_dev,
         "tick_s_1dev": round(t1, 4),
         "tick_s_8dev": round(t8, 4),
         "weak_scaling_efficiency": round(t1 / t8, 3),
+        # 8 virtual devices share the physical cores: even perfect sharding
+        # cannot exceed cores/8 on this box — the ceiling for this proxy
+        "physical_core_ceiling": round(min(cores / 8.0, 1.0), 3),
     }
 
 

@@ -73,6 +73,12 @@ class MoveBaseDriver:
         self.recovery = None
         self.recovery_succeed = False
 
+    def close(self):
+        """Shut down the plan-manager worker thread (no-op when sync)."""
+        close = getattr(self.plan_manager, "close", None)
+        if close is not None:
+            close()
+
     def set_goal(self, goal_pos, now=0.0, goal_quat=None):
         self.goal = jnp.asarray(goal_pos, jnp.float32)
         if goal_quat is None:

@@ -217,6 +217,29 @@ class NavigationSession:
     def note_odom(self, now):
         self.gate.update("odom", now=now)
 
+    # -- checkpoint/resume (SURVEY.md §5: per-tick pytree snapshot) ------
+    def checkpoint_state(self):
+        """Snapshot of every dynamic device state: one pytree
+        (restore with :meth:`restore_state`); pair with
+        `runtime.checkpoint.save_pytree` for on-disk persistence."""
+        state = {
+            "marking": self.marking,
+            "fsm": self.driver.fsm,
+            "dgraph": self.driver.dgraph,
+        }
+        if self.n_depth_cameras > 0:
+            state["depth_marking"] = self.depth_marking
+            state["depth_buffer"] = self.depth_buffer
+        return state
+
+    def restore_state(self, state):
+        self.marking = state["marking"]
+        self.driver.fsm = state["fsm"]
+        self.driver.dgraph = state["dgraph"]
+        if self.n_depth_cameras > 0 and "depth_marking" in state:
+            self.depth_marking = state["depth_marking"]
+            self.depth_buffer = state["depth_buffer"]
+
     # ------------------------------------------------------------------
     def _observation(self, scan_global: np.ndarray):
         """Aggregated observation: voxel-downsampled transformed scan

@@ -135,3 +135,30 @@ def test_viz_dump_renders_debug_ring(tmp_path):
     outs = render_dump_dir(str(tmp_path / "ring"), str(tmp_path / "png"))
     assert len(outs) == 3
     assert all(os.path.getsize(p) > 10_000 for p in outs)
+
+
+def test_session_checkpoint_roundtrip(tmp_path):
+    """NavigationSession dynamic state round-trips through the pytree
+    checkpoint (mid-run compute checkpointing — SURVEY.md §5)."""
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config import NavigationConfig
+    from dddmr_navigation_tpu.control.session import NavigationSession
+    from dddmr_navigation_tpu.io import flat_ground_map
+    from dddmr_navigation_tpu.runtime.checkpoint import (
+        save_pytree, restore_pytree)
+
+    cfg = NavigationConfig()
+    ground = flat_ground_map(6, 4, 0.4)
+    sess = NavigationSession(cfg, ground)
+    sess.marking = sess.marking._replace(
+        dgraph=sess.marking.dgraph.at[3].set(0.2))
+    snap = sess.checkpoint_state()
+    path = str(tmp_path / "session_ckpt")
+    save_pytree(path, snap)
+
+    sess2 = NavigationSession(cfg, ground)
+    restored = restore_pytree(path, sess2.checkpoint_state())
+    sess2.restore_state(restored)
+    np.testing.assert_allclose(np.asarray(sess2.marking.dgraph),
+                               np.asarray(sess.marking.dgraph))
+    assert int(sess2.driver.fsm.decision) == int(sess.driver.fsm.decision)
