@@ -85,7 +85,8 @@ def _time_chains(run, make_args, ticks, reps):
 # ---------------------------------------------------------------------------
 
 def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
-                   linear_samples=16, angular_samples=16):
+                   linear_samples=16, angular_samples=16,
+                   collision_backend="xla"):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -102,7 +103,7 @@ def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
             max_num_steps=40),
         max_obstacle_points=obstacles_n,
         collision_obstacle_chunk=16, collision_near_k=128,
-        collision_backend="xla")
+        collision_backend=collision_backend)
     b = robots
     s_padded = cfg.generator.n_samples_padded
 
@@ -443,6 +444,8 @@ def main():
                     help="run a single phase (cache-warming / debugging)")
     ap.add_argument("--ticks", type=int, default=50)
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--collision-backend", default="xla",
+                    choices=["xla", "auto", "pallas", "pallas_interpret"])
     args = ap.parse_args()
     if args.only is not None:
         skip_all = {"config2", "config3", "scaling", "batch"}
@@ -453,7 +456,8 @@ def main():
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     if args.only in (None, "headline", "batch"):
-        head = bench_headline(ticks=args.ticks, reps=args.reps)
+        head = bench_headline(ticks=args.ticks, reps=args.reps,
+                              collision_backend=args.collision_backend)
         print(f"headline: {head['rollouts_per_s']:,.0f} rollouts/s "
               f"tick={head['tick_ms']:.2f}ms compile={head['compile_s']}s",
               file=sys.stderr)

@@ -58,6 +58,14 @@ def _load():
                                  ctypes.c_uint32]
         lib.spsc_size.restype = ctypes.c_uint64
         lib.spsc_size.argtypes = [ctypes.c_void_p]
+        lib.executor_create.restype = ctypes.c_void_p
+        lib.executor_create.argtypes = [ctypes.c_double, _TICK_CB,
+                                        ctypes.c_void_p]
+        lib.executor_start.argtypes = [ctypes.c_void_p]
+        lib.executor_stop.argtypes = [ctypes.c_void_p]
+        lib.executor_stats.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_double)]
+        lib.executor_destroy.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -154,3 +162,64 @@ class SensorRing:
         ring = getattr(self, "_ring", None)
         if lib and ring:
             lib.spsc_destroy(ring)
+
+
+# ---------------------------------------------------------------------------
+# native realtime executor (rclcpp timer / MultiThreadedExecutor role)
+# ---------------------------------------------------------------------------
+
+_TICK_CB = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_longlong)
+
+
+class RealtimeExecutor:
+    """Drift-free periodic tick loop in a native thread with native
+    deadline accounting (`perception_3d_ros.cpp:220-249` /
+    `p2p_move_base.cpp:204-257` semantics: fixed frequency, warn-on-
+    overrun; overruns skip periods rather than bursting catch-up ticks).
+
+    The Python callback runs under the GIL (ctypes acquires it); JAX
+    dispatches inside the callback release the GIL, so device work
+    overlaps the pacing thread. Stats (`ticks, misses, mean/p50/p99/max
+    callback ms`) are computed natively."""
+
+    def __init__(self, frequency_hz: float, callback):
+        lib = _load()
+        if not lib:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._exc = None
+
+        def _trampoline(_user, tick_index):
+            try:
+                callback(int(tick_index))
+            except Exception:   # never let an exception cross into C++
+                import traceback
+                self._exc = traceback.format_exc()
+
+        self._cb = _TICK_CB(_trampoline)    # keep a reference alive
+        self._h = lib.executor_create(ctypes.c_double(frequency_hz),
+                                      self._cb, None)
+
+    def start(self):
+        self._lib.executor_start(self._h)
+
+    def stop(self):
+        self._lib.executor_stop(self._h)
+
+    def stats(self) -> dict:
+        out = (ctypes.c_double * 6)()
+        self._lib.executor_stats(self._h, out)
+        return {"ticks": int(out[0]), "deadline_misses": int(out[1]),
+                "mean_ms": out[2], "p50_ms": out[3], "p99_ms": out[4],
+                "max_ms": out[5], "error": self._exc}
+
+    def close(self):
+        if self._h is not None:
+            self._lib.executor_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

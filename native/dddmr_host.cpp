@@ -24,7 +24,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -313,6 +315,103 @@ uint64_t spsc_size(void* ring) {
   SpscRing* r = (SpscRing*)ring;
   return r->tail.load(std::memory_order_acquire)
        - r->head.load(std::memory_order_acquire);
+}
+
+
+// ---------------------------------------------------------------------------
+// Realtime executor: drift-free periodic callback with native deadline
+// accounting — the rclcpp timer/MultiThreadedExecutor role
+// (`perception_3d_ros.cpp:220-249` sensorsUpdateLoop @10 Hz,
+// `p2p_move_base.cpp:204-257` control loop @controller_frequency, both
+// warn-on-overrun). The callback crosses into Python via ctypes (which
+// acquires the GIL); pacing, jitter and overrun statistics stay native so
+// a slow host interpreter cannot skew the measurement of itself.
+// ---------------------------------------------------------------------------
+
+typedef void (*dddmr_tick_cb)(void* user, long long tick_index);
+
+struct RtExecutor {
+  std::thread thread;
+  std::atomic<bool> running{false};
+  double period_s{0.1};
+  dddmr_tick_cb cb{nullptr};
+  void* user{nullptr};
+  // stats
+  std::atomic<long long> ticks{0};
+  std::atomic<long long> misses{0};
+  static const int kWindow = 1024;
+  double durations_ms[kWindow];
+  std::atomic<int> dur_count{0};
+};
+
+static void rt_executor_loop(RtExecutor* ex) {
+  using clock = std::chrono::steady_clock;
+  auto period = std::chrono::duration_cast<clock::duration>(
+      std::chrono::duration<double>(ex->period_s));
+  auto next = clock::now() + period;
+  long long i = 0;
+  while (ex->running.load(std::memory_order_acquire)) {
+    auto t0 = clock::now();
+    ex->cb(ex->user, i);
+    auto t1 = clock::now();
+    double ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
+    int slot = ex->dur_count.load(std::memory_order_relaxed);
+    ex->durations_ms[slot % RtExecutor::kWindow] = ms;
+    ex->dur_count.store(slot + 1, std::memory_order_relaxed);
+    ex->ticks.fetch_add(1, std::memory_order_relaxed);
+    if (ms > ex->period_s * 1e3)
+      ex->misses.fetch_add(1, std::memory_order_relaxed);
+    ++i;
+    // drift-free absolute schedule; skip whole periods when overrun so a
+    // long tick does not cause a burst of catch-up ticks
+    auto now = clock::now();
+    while (next <= now) next += period;
+    std::this_thread::sleep_until(next);
+    next += period;
+  }
+}
+
+void* executor_create(double frequency_hz, dddmr_tick_cb cb, void* user) {
+  RtExecutor* ex = new RtExecutor();
+  ex->period_s = 1.0 / frequency_hz;
+  ex->cb = cb;
+  ex->user = user;
+  return ex;
+}
+
+void executor_start(void* h) {
+  RtExecutor* ex = (RtExecutor*)h;
+  if (ex->running.exchange(true)) return;
+  ex->thread = std::thread(rt_executor_loop, ex);
+}
+
+void executor_stop(void* h) {
+  RtExecutor* ex = (RtExecutor*)h;
+  if (!ex->running.exchange(false)) return;
+  if (ex->thread.joinable()) ex->thread.join();
+}
+
+// out[6] = {ticks, misses, mean_ms, p50_ms, p99_ms, max_ms} over the last
+// window of callback durations.
+void executor_stats(void* h, double* out) {
+  RtExecutor* ex = (RtExecutor*)h;
+  int n = ex->dur_count.load(std::memory_order_relaxed);
+  int m = n < RtExecutor::kWindow ? n : RtExecutor::kWindow;
+  std::vector<double> d(ex->durations_ms, ex->durations_ms + m);
+  std::sort(d.begin(), d.end());
+  double mean = 0, mx = 0;
+  for (double v : d) { mean += v; if (v > mx) mx = v; }
+  out[0] = (double)ex->ticks.load();
+  out[1] = (double)ex->misses.load();
+  out[2] = m ? mean / m : 0.0;
+  out[3] = m ? d[(int)(0.50 * (m - 1))] : 0.0;
+  out[4] = m ? d[(int)(0.99 * (m - 1))] : 0.0;
+  out[5] = mx;
+}
+
+void executor_destroy(void* h) {
+  executor_stop(h);
+  delete (RtExecutor*)h;
 }
 
 }  // extern "C"

@@ -89,3 +89,32 @@ def test_spsc_ring_full_and_empty():
     assert ring.push(small)
     out = ring.pop()
     np.testing.assert_array_equal(out, small)
+
+
+def test_realtime_executor_paces_and_accounts():
+    """Native executor: drift-free pacing + deadline stats
+    (the rclcpp timer role, `perception_3d_ros.cpp:220-249`)."""
+    import time
+    from dddmr_navigation_tpu.io.native import native_available, RealtimeExecutor
+    if not native_available():
+        pytest.skip("native library unavailable")
+    hits = []
+
+    def cb(i):
+        hits.append(i)
+        if i == 3:
+            time.sleep(0.03)   # force one deadline miss at 100 Hz
+
+    ex = RealtimeExecutor(100.0, cb)
+    ex.start()
+    time.sleep(0.35)
+    ex.stop()
+    s = ex.stats()
+    ex.close()
+    assert s["error"] is None
+    # ~35 ticks expected; overruns skip periods, so the count stays close
+    assert 20 <= s["ticks"] <= 40, s
+    assert s["deadline_misses"] >= 1
+    assert s["max_ms"] >= 25.0          # the slow tick is in the tail
+    assert s["p50_ms"] < 5.0
+    assert hits == sorted(hits)
