@@ -121,3 +121,36 @@ def test_all_reference_yamls_ingest(name):
     assert cfg.global_planner.a_star_expanding_radius > 0
     assert cfg.move_base.global_planner_action_name in (
         "get_plan", "get_dwa_plan")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/src/dddmr_global_planner/data/warehouse.pgm"),
+    reason="reference data not mounted")
+def test_warehouse_pgm_to_ground_and_plan():
+    """`occupancy2ground` on the reference's REAL warehouse.pgm
+    (`path_planning_on_2d_map` demo, `occupancy2ground.cpp:60-250`):
+    the 2D map extrudes into ground+wall clouds a real plan runs on."""
+    from dddmr_navigation_tpu.io.occupancy import (
+        read_pgm, occupancy_to_clouds)
+    grid = read_pgm(
+        "/root/reference/src/dddmr_global_planner/data/warehouse.pgm")
+    assert grid.shape == (414, 275)
+    ground, walls = occupancy_to_clouds(grid, resolution=0.05)
+    assert len(ground) > 10_000 and len(walls) > 1_000
+
+    # plan across the free space of the real map (downsampled for speed)
+    from dddmr_navigation_tpu.io.maps import voxel_downsample
+    from dddmr_navigation_tpu.planning.global_.runtime import (
+        GlobalPlannerRuntime)
+    ground_ds = voxel_downsample(ground, 0.25)
+    cfg = NavigationConfig()
+    rt = GlobalPlannerRuntime(cfg, ground_ds)
+    free = np.full((len(ground_ds),), 9999.0, np.float32)
+    # pick two distant free cells
+    a = ground_ds[np.argmin(ground_ds[:, 0] + ground_ds[:, 1])]
+    b = ground_ds[np.argmax(ground_ds[:, 0] + ground_ds[:, 1])]
+    out = rt.plan(a, b, free)
+    assert out is not None
+    pos, _ = out
+    assert np.linalg.norm(pos[-1] - b) < 0.6
