@@ -117,3 +117,82 @@ def test_plan_and_cmdvel_parity_real_map(ctx):
             assert r["d_cost"] < 1e-3, r
         ticks_checked += len(rows)
     assert ticks_checked >= 8, "too few parity ticks executed"
+
+
+def test_mcl_tracks_on_real_reference_map(ctx):
+    """6DOF MCL on the REAL bundled map: simulated feature scans from
+    map.pcd/ground.pcd track a short trajectory along the slope
+    (the mcl_3dl deployment surface on its actual assets)."""
+    import functools
+    import jax
+    from dddmr_navigation_tpu.config import MCLConfig
+    from dddmr_navigation_tpu.state_estimation import (
+        build_submap_context, init_mcl, mcl_update)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+
+    mcl_cfg = MCLConfig(num_particles=48, init_var_x=0.3, init_var_y=0.3,
+                        init_var_z=0.1, init_var_roll=0.02,
+                        init_var_pitch=0.02, init_var_yaw=0.1,
+                        match_ratio_thresh=0.0)
+    # a local patch of the real map around a walkable node keeps the
+    # distance-field footprint bounded
+    start, _goal = pr.pick_start_goal_pairs(ctx, 1, seed=2)[0]
+    center = ctx.ground[start]
+    near_m = np.linalg.norm(ctx.map_pts[:, :2] - center[None, :2],
+                            axis=1) < 25.0
+    near_g = np.linalg.norm(ctx.ground[:, :2] - center[None, :2],
+                            axis=1) < 25.0
+    map_pts = ctx.map_pts[near_m]
+    ground_pts = ctx.ground[near_g]
+    sctx = build_submap_context(map_pts, ground_pts, mcl_cfg, res=0.3)
+
+    rng = np.random.default_rng(5)
+
+    def scan_features(pos, yaw, n=128, radius=8.0):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+        def take(pts):
+            d = np.linalg.norm(pts[:, :2] - pos[None, :2], axis=1)
+            cand = pts[d < radius]
+            idx = rng.choice(len(cand), size=min(n, len(cand)),
+                             replace=False)
+            sel = (cand[idx] - pos[None, :]) @ R
+            out = np.zeros((n, 3), np.float32)
+            m = np.zeros((n,), bool)
+            out[:len(sel)] = sel
+            m[:len(sel)] = True
+            return jnp.asarray(out), jnp.asarray(m)
+
+        f, fm = take(ground_pts)
+        s_, sm = take(map_pts)
+        return f, fm, s_, sm
+
+    # truth: walk along the local plan direction on the real slope
+    idq = np.array([0, 0, 0, 1], np.float32)
+    pos = center.astype(np.float32)
+    yaw = 0.0
+    state = init_mcl(jax.random.PRNGKey(2), mcl_cfg,
+                     jnp.asarray(pos + [0.15, -0.1, 0.0]), jnp.asarray(idq))
+    step_fn = jax.jit(functools.partial(mcl_update, mcl_cfg))
+    opos_prev, oyaw_prev = pos.copy(), yaw
+    errs = []
+    for t in range(10):
+        yaw += 0.05
+        step = np.array([0.25 * np.cos(yaw), 0.25 * np.sin(yaw), 0.0],
+                        np.float32)
+        cand = pos + step
+        # stay on the walkable strip: snap z to the nearest real ground node
+        ni = np.argmin(np.linalg.norm(ground_pts[:, :2] - cand[None, :2],
+                                      axis=1))
+        pos = np.array([cand[0], cand[1], ground_pts[ni, 2]], np.float32)
+        f, fm, s_, sm = scan_features(pos, yaw)
+        state, out = step_fn(
+            sctx, state,
+            jnp.asarray(opos_prev), quat_from_yaw(jnp.asarray(oyaw_prev)),
+            jnp.asarray(pos), quat_from_yaw(jnp.asarray(yaw)),
+            jnp.asarray(0.25), f, fm, s_, sm, jnp.ones(s_.shape[0]))
+        opos_prev, oyaw_prev = pos.copy(), yaw
+        errs.append(float(np.linalg.norm(
+            np.asarray(out.pose_pos)[:2] - pos[:2])))
+    assert np.mean(errs[-3:]) < 0.6, errs
