@@ -6,7 +6,9 @@ Default run measures, on the real chip:
   * config 2: ramp map, 4 s horizon, ~2k rollouts, with the FULL 3D
     mark/clear perception update fused into every control tick;
   * config 3: multi-level map, ~8k rollouts with a global replan
-    (turning-aware wavefront) inside every tick;
+    (turning-aware wavefront) every tick — compiled as two chained
+    programs by default (the fused single program exceeds this tunnel's
+    remote-compile budget; tick time is the sum of the phases);
   * batch-scaling efficiency on the chip (B=8 → B=64);
 and, in a CPU subprocess (multi-chip hardware is not available here):
   * weak-scaling efficiency of the sharded fleet tick over an 8-device
@@ -252,7 +254,7 @@ def bench_config2(ticks=30, reps=4):
 # config 3: multi-level map, 8k rollouts + global replan inside every tick
 # ---------------------------------------------------------------------------
 
-def bench_config3(ticks=20, reps=4):
+def bench_config3(ticks=20, reps=4, split=True):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -295,29 +297,67 @@ def bench_config3(ticks=20, reps=4):
     avg_int = jnp.asarray(graph.avg_intensity)
     positions = jnp.asarray(ground)
 
-    @jax.jit
-    def run(dgraph0, plan, obstacles, obs_mask):
-        def body(dgraph, _):
-            enter = node_costs(dgraph, jnp.zeros((g,)),
-                               inscribed_radius=0.5,
-                               inflation_descending_rate=2.0)
-            dist_gb, _bins = wavefront_distances_turning(
-                nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
-                positions, 0.1, n_dir_bins=16, max_iters=192)
-            cmd = compute_velocity_command(
-                cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
-                obstacles, obs_mask)
-            # feed a whiff of the plan cost back so the scan can't DCE it
-            d = dgraph + 0.0 * jnp.min(dist_gb)
-            return d, (cmd.vx, jnp.min(dist_gb))
-        final, (vxs, dists) = jax.lax.scan(body, dgraph0, None, length=ticks)
-        return final, vxs, dists
+    if not split:
+        @jax.jit
+        def run(dgraph0, plan, obstacles, obs_mask):
+            def body(dgraph, _):
+                enter = node_costs(dgraph, jnp.zeros((g,)),
+                                   inscribed_radius=0.5,
+                                   inflation_descending_rate=2.0)
+                dist_gb, _bins = wavefront_distances_turning(
+                    nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
+                    positions, 0.1, n_dir_bins=16, max_iters=192)
+                cmd = compute_velocity_command(
+                    cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
+                    obstacles, obs_mask)
+                # feed a whiff of the plan cost back so the scan can't DCE it
+                d = dgraph + 0.0 * jnp.min(dist_gb)
+                return d, (cmd.vx, jnp.min(dist_gb))
+            final, (vxs, dists) = jax.lax.scan(body, dgraph0, None,
+                                               length=ticks)
+            return final, vxs, dists
 
-    def make_args():
-        return (jnp.full((g,), 9999.0), plan, obstacles, obs_mask)
+        def make_args():
+            return (jnp.full((g,), 9999.0), plan, obstacles, obs_mask)
 
-    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
-    best = min(per_tick)
+        compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+        best = min(per_tick)
+    else:
+        # split mode: replan chain + rollout chain compiled separately
+        # (two small programs for compile-queue-constrained environments);
+        # tick time = sum of the per-phase amortized ticks
+        @jax.jit
+        def run_replan(dgraph0):
+            def body(dgraph, _):
+                enter = node_costs(dgraph, jnp.zeros((g,)),
+                                   inscribed_radius=0.5,
+                                   inflation_descending_rate=2.0)
+                dist_gb, _bins = wavefront_distances_turning(
+                    nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
+                    positions, 0.1, n_dir_bins=16, max_iters=192)
+                return dgraph + 0.0 * jnp.min(dist_gb), jnp.min(dist_gb)
+            final, dists = jax.lax.scan(body, dgraph0, None, length=ticks)
+            return final, dists
+
+        @jax.jit
+        def run_rollout(plan, obstacles, obs_mask):
+            def body(carry, _):
+                cmd = compute_velocity_command(
+                    cfg, plan, rp, rq, carry, jnp.float32(0.0),
+                    obstacles, obs_mask)
+                return carry + 0.0 * cmd.vx, cmd.vx
+            final, vxs = jax.lax.scan(body, jnp.float32(0.3), None,
+                                      length=ticks)
+            return final, vxs
+
+        c1, t1, out1 = _time_chains(
+            run_replan, lambda: (jnp.full((g,), 9999.0),), ticks, reps)
+        c2, t2, out2 = _time_chains(
+            run_rollout, lambda: (plan, obstacles, obs_mask), ticks, reps)
+        compile_s = c1 + c2
+        per_tick = [a + b for a, b in zip(t1, t2)]
+        best = min(t1) + min(t2)
+        out = (None, out2[1], out1[1])
     s_padded = cfg.generator.n_samples_padded
     return {
         "tick_ms": 1e3 * best,
@@ -325,6 +365,7 @@ def bench_config3(ticks=20, reps=4):
         "rollouts_per_tick": s_padded,
         "solves_per_s": 1.0 / best,      # one full replan per tick
         "ground_nodes": g,
+        "split_programs": split,
         "under_budget": bool(1e3 * best < TICK_BUDGET_MS),
         "compile_s": round(compile_s, 1),
     }

@@ -481,7 +481,28 @@ def load_yaml_config(path: str) -> NavigationConfig:
         stick_path=critic("stick_path", 0.1),
         pure_pursuit=critic("pure_pursuit"),
         toward_global_plan=critic("toward_global_plan"),
+        twirling=critic("twirling"),
     )
+
+    # omni deployment (p2p_wo_mcl.yaml:86-115 binds omni_drive_simple)
+    omni = _get(tg, "omni_drive_simple", default={}) or {}
+    omni_limits = TrajectoryGeneratorLimits(**{
+        **{k: omni[k] for k in (
+            "max_vel_x", "min_vel_x", "max_vel_y", "min_vel_y",
+            "max_vel_theta", "min_vel_theta", "min_vel_trans",
+            "max_vel_trans", "acc_lim_x", "acc_lim_y", "acc_lim_theta",
+            "deceleration_ratio", "use_motor_constraint") if k in omni}})
+    omni_gen = OmniSimpleGeneratorConfig(
+        limits=omni_limits,
+        controller_frequency=omni.get("controller_frequency", 10.0),
+        sim_time=omni.get("sim_time", 2.0),
+        linear_x_sample=int(omni.get("linear_x_sample", 5)),
+        linear_y_sample=int(omni.get("linear_y_sample", 5)),
+        angular_z_sample=int(omni.get("angular_z_sample", 10)),
+        sim_granularity=omni.get("sim_granularity", 0.05),
+        angular_sim_granularity=omni.get("angular_sim_granularity", 0.025),
+        cuboid=_cuboid_from_yaml(omni.get("cuboid")),
+    ) if omni else OmniSimpleGeneratorConfig()
 
     lidar_y = _get(p3l, "lidar", default={}) or {}
     lidar = SpinningLidarConfig(**{
@@ -519,6 +540,7 @@ def load_yaml_config(path: str) -> NavigationConfig:
         controller_frequency=lp.get("controller_frequency", 10.0),
         cuboid=_cuboid_from_yaml(lp.get("cuboid")),
         generator=gen,
+        omni_generator=omni_gen,
         rotate_generator=rot_gen,
         critics=critics,
     )

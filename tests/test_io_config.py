@@ -154,3 +154,21 @@ def test_warehouse_pgm_to_ground_and_plan():
     assert out is not None
     pos, _ = out
     assert np.linalg.norm(pos[-1] - b) < 0.6
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src/dddmr_p2p_move_base/config"),
+    reason="reference configs not mounted")
+def test_omni_deployment_yaml_values():
+    """The omni deployment (p2p_wo_mcl.yaml binds omni_drive_simple)
+    ingests its generator limits + the twirling critic."""
+    from dddmr_navigation_tpu.config import load_yaml_config
+    cfg = load_yaml_config(
+        "/root/reference/src/dddmr_p2p_move_base/config/p2p_wo_mcl.yaml")
+    og = cfg.local_planner.omni_generator
+    assert og.limits.min_vel_x == pytest.approx(-1.0)
+    assert og.limits.max_vel_y == pytest.approx(1.0)
+    assert og.limits.acc_lim_y == pytest.approx(2.0)
+    assert og.limits.use_motor_constraint is False
+    assert og.limits.min_vel_trans == pytest.approx(0.1)
+    assert cfg.local_planner.critics.twirling is not None
