@@ -228,3 +228,39 @@ def test_scan_to_map_submap_reduces_drift():
     # the trajectory is planar: |z| at the end IS the drift
     assert abs(with_sub[2]) < 0.35, with_sub
     assert abs(with_sub[2]) <= abs(without[2]) + 0.05, (with_sub, without)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/src/dddmr_lego_loam/lego_loam_bor/pcd/feature.pcd"),
+    reason="reference pcd not mounted")
+def test_icp_playground_on_real_feature_pcd():
+    """`optimized_ICP_GN_playground` on its actual bundled cloud
+    (`lego_loam_bor/pcd/feature.pcd`): the GN ICP recovers a known SE(3)
+    offset applied to the real 371-point feature cloud."""
+    from dddmr_navigation_tpu.io.pcd import read_pcd
+    from dddmr_navigation_tpu.slam.scan_matching import icp_point2point
+    from dddmr_navigation_tpu.geometry import quat_from_yaw, quat_rotate
+
+    pts = read_pcd(
+        "/root/reference/src/dddmr_lego_loam/lego_loam_bor/pcd/feature.pcd"
+    )[:, :3].astype(np.float32)
+    assert len(pts) == 371
+    # recenter (the raw cloud sits ~40 m off-origin)
+    pts = pts - pts.mean(0, keepdims=True)
+
+    true_yaw, true_t = 0.12, np.array([0.4, -0.25, 0.1], np.float32)
+    q = quat_from_yaw(jnp.float32(true_yaw))
+    src = np.asarray(quat_rotate(jnp.broadcast_to(q, (len(pts), 4)),
+                                 jnp.asarray(pts))) + true_t
+    # estimate the transform mapping pts -> src... ICP aligns src to tgt,
+    # so recover the inverse: feed src as source, pts as target
+    mask = jnp.ones((len(pts),), bool)
+    pos, quat, fitness = icp_point2point(
+        jnp.asarray(src), mask, jnp.asarray(pts), mask, 40, 2.0)
+    # compose: applying (pos, quat) to src should land on pts
+    back = np.asarray(quat_rotate(jnp.broadcast_to(quat, (len(pts), 4)),
+                                  jnp.asarray(src))) + np.asarray(pos)
+    err = np.linalg.norm(back - pts, axis=1)
+    assert float(np.median(err)) < 0.1, float(np.median(err))
+    assert float(fitness) < 0.2
