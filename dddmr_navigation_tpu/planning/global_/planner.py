@@ -179,31 +179,3 @@ def post_smooth_path(ground: np.ndarray, map_pts: np.ndarray, path_ids,
             anchor = nxt
     out.append(ids[-1])
     return out
-
-
-def dwa_local_goal(dist_to_goal, ground, plan_positions, robot_pos,
-                   look_ahead_distance: float, dgraph, inscribed_radius: float):
-    """`DWA_GlobalPlanner::determineDWAPlan` look-ahead goal selection
-    (`dynamic_window_aware_global_planner.cpp:192-288`): nearest plan pose
-    to the robot, walk ``look_ahead_distance`` along the plan (+1 m while
-    the tentative local goal is lethal per dGraph). Host/jnp hybrid —
-    returns (local_goal_index_into_plan, splice_index)."""
-    d = jnp.linalg.norm(plan_positions - robot_pos, axis=-1)
-    i0 = jnp.argmin(d)
-    seg = jnp.linalg.norm(jnp.diff(plan_positions, axis=0), axis=-1)
-    cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
-    target = cum[i0] + look_ahead_distance
-    # nearest ground node to each candidate pose decides blockedness
-    def blocked(pidx):
-        gi, _ = snap_to_ground(ground, jnp.ones(ground.shape[0], bool),
-                               plan_positions[pidx])
-        return dgraph[gi] < inscribed_radius
-
-    # walk forward in +1 m increments while blocked (bounded unroll of 5)
-    idx = jnp.searchsorted(cum, target)
-    for _ in range(5):
-        idx = jnp.where(blocked(jnp.minimum(idx, plan_positions.shape[0] - 1)),
-                        jnp.searchsorted(cum, cum[jnp.minimum(
-                            idx, plan_positions.shape[0] - 1)] + 1.0), idx)
-    idx = jnp.minimum(idx, plan_positions.shape[0] - 1)
-    return idx, i0
