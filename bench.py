@@ -88,7 +88,7 @@ def _time_chains(run, make_args, ticks, reps):
 
 def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
                    linear_samples=16, angular_samples=16,
-                   collision_backend="xla"):
+                   collision_backend="xla", obstacle_chunk=16):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -104,7 +104,7 @@ def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
             linear_x_sample=linear_samples, angular_z_sample=angular_samples,
             max_num_steps=40),
         max_obstacle_points=obstacles_n,
-        collision_obstacle_chunk=16, collision_near_k=128,
+        collision_obstacle_chunk=obstacle_chunk, collision_near_k=128,
         collision_backend=collision_backend)
     b = robots
     s_padded = cfg.generator.n_samples_padded

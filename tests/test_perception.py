@@ -224,3 +224,45 @@ def test_scan_stitcher():
     op, om = s.push(c, mm)   # deque(maxlen=2) drops the oldest sweep
     assert om.sum() == 6 and (op[:3] == 2.0).all() and (op[3:6] == 3.0).all()
     assert op.shape == (16, 3)
+
+
+def test_perception_update_vmaps_over_robots(map_ctx):
+    """The mark/clear engine is a pure pytree function, so a fleet's
+    perception updates batch with one vmap (SURVEY §2.12 scenario-DP):
+    per-robot grids/dgraphs must match the sequential results."""
+    import functools
+    n_robots = 3
+    states = [init_marking_state(SPEC, PARAMS, map_ctx.ground.shape[0])
+              for _ in range(n_robots)]
+    batched_state = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x), *states)
+
+    rng = np.random.default_rng(4)
+    robots = np.stack([[i * 1.0 - 1.0, 0.3 * i, 0.0]
+                       for i in range(n_robots)]).astype(np.float32)
+    scans, masks = [], []
+    for i in range(n_robots):
+        wall = box_obstacle([robots[i, 0] + 1.2, 0.4, 0.0],
+                            size=(0.3, 0.6, 0.8))
+        p, m = pad_scan(wall)
+        scans.append(p)
+        masks.append(m)
+    scans = jnp.stack(scans)
+    masks = jnp.stack(masks)
+    quat = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    quats = jnp.broadcast_to(quat, (n_robots, 4))
+    sensors = jnp.asarray(robots) + jnp.asarray([0.0, 0.0, 0.5])
+
+    upd = functools.partial(perception_update, SPEC, RI, PARAMS)
+    batched = jax.vmap(upd, in_axes=(0, None, 0, 0, 0, 0, 0, 0))(
+        batched_state, map_ctx, scans, masks, jnp.asarray(robots), quats,
+        sensors, quats)
+
+    for i in range(n_robots):
+        seq = PUPDATE(SPEC, RI, PARAMS, states[i], map_ctx, scans[i],
+                      masks[i], jnp.asarray(robots[i]), quat, sensors[i],
+                      quat)
+        np.testing.assert_array_equal(np.asarray(batched.grid[i]),
+                                      np.asarray(seq.grid))
+        np.testing.assert_allclose(np.asarray(batched.dgraph[i]),
+                                   np.asarray(seq.dgraph), rtol=1e-5)
