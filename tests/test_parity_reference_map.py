@@ -196,3 +196,71 @@ def test_mcl_tracks_on_real_reference_map(ctx):
         errs.append(float(np.linalg.norm(
             np.asarray(out.pose_pos)[:2] - pos[:2])))
     assert np.mean(errs[-3:]) < 0.6, errs
+
+
+def test_perception_marks_real_map_structure(ctx):
+    """Perception vertical on the REAL assets: a lidar sweep ray-cast
+    against map.pcd marks the surrounding structure into the dynamic
+    dGraph (the canonical config disables static-match rejection:
+    segmentation_ignore_ratio 1.1), and the planner still finds a path
+    along the walkable strip under the composed field."""
+    import dataclasses
+    import jax
+    from dddmr_navigation_tpu.perception.voxel import VoxelSpec
+    from dddmr_navigation_tpu.perception.fov import RangeImageSpec
+    from dddmr_navigation_tpu.perception.static_map import build_map_context
+    from dddmr_navigation_tpu.perception.marking import (
+        MarkingParams, init_marking_state, perception_update)
+    from dddmr_navigation_tpu.perception.layers import min_dgraph
+
+    start, goal = pr.pick_start_goal_pairs(ctx, 1, seed=3,
+                                           min_separation=10.0)[0]
+    robot = ctx.ground[start].astype(np.float32)
+    sensor = robot + np.array([0, 0, 0.5], np.float32)
+    scan, mask = pr.raycast_scan_from_map(ctx, sensor)
+    assert mask.sum() > 500, "real map returned too few simulated hits"
+
+    p = ctx.cfg.perception
+    params = MarkingParams.from_config(p)
+    # full-circle effective scan for the fixture lidar
+    params = params._replace(scan_effective_positive_start=0.0,
+                             scan_effective_negative_start=0.0)
+    spec = VoxelSpec(nx=96, ny=96, nz=32, xy_resolution=0.1,
+                     height_resolution=0.1)
+    ri = RangeImageSpec(rows=16, cols=360, elev_min_deg=-15.0,
+                        elev_max_deg=15.0)
+    map_ctx = build_map_context(ctx.ground, ctx.map_pts)
+    state = init_marking_state(spec, params, len(ctx.ground))
+
+    scan_global = scan + sensor[None, :]
+    upd = jax.jit(perception_update, static_argnums=(0, 1, 2))
+    for _ in range(2):
+        state = upd(spec, ri, params, state, map_ctx,
+                    jnp.asarray(scan_global), jnp.asarray(mask),
+                    jnp.asarray(robot), jnp.asarray([0, 0, 0, 1.0],
+                                                    jnp.float32),
+                    jnp.asarray(sensor), jnp.asarray([0, 0, 0, 1.0],
+                                                     jnp.float32))
+    dyn = np.asarray(state.dgraph)
+    assert (dyn < p.max_obstacle_distance).sum() > 20, \
+        "no ground nodes took dynamic marking from the real structure"
+
+    # composed field still admits a plan along the strip
+    composed = np.minimum(ctx.static_dgraph, dyn)
+    res = None
+    from tools.parity_reference import ReferenceContext  # noqa: F401
+    import functools
+    from dddmr_navigation_tpu.planning.global_.planner import plan_on_graph
+    jit_plan = jax.jit(functools.partial(
+        plan_on_graph, ctx.cfg.global_planner,
+        inscribed_radius=p.inscribed_radius,
+        inflation_descending_rate=p.inflation_descending_rate))
+    res = jit_plan(jnp.asarray(ctx.graph.nbr_idx),
+                   jnp.asarray(ctx.graph.nbr_dist),
+                   jnp.asarray(ctx.graph.nbr_valid),
+                   jnp.asarray(ctx.ground),
+                   jnp.ones(len(ctx.ground), bool),
+                   jnp.asarray(composed), jnp.asarray(ctx.node_weight),
+                   jnp.asarray(ctx.graph.avg_intensity),
+                   jnp.asarray(robot), jnp.asarray(ctx.ground[goal]))
+    assert bool(res.ok), "plan failed under the composed real-asset field"

@@ -252,3 +252,35 @@ def cmdvel_parity(ctx: ReferenceContext, positions: np.ndarray,
         # either way — the oracle consumes the same v_now/w_now)
         v_now, w_now = float(cmd.vx), float(cmd.wz)
     return rows
+
+
+def raycast_scan_from_map(ctx: ReferenceContext, sensor_pos: np.ndarray,
+                          n_rings: int = 16, n_cols: int = 360,
+                          v_bottom: float = -15.0, v_top: float = 15.0,
+                          max_range: float = 12.0, hit_radius: float = 0.2):
+    """Simulate one lidar sweep against the REAL map cloud: rays march at
+    ``hit_radius`` steps and return at the first map point within
+    ``hit_radius`` (host cKDTree; fixture-quality, like dummy_pc_pub).
+    Returns (points (R·C, 3) sensor-frame, mask)."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(ctx.map_pts)
+    elev = np.radians(np.linspace(v_bottom, v_top, n_rings))
+    azim = np.linspace(-np.pi, np.pi, n_cols, endpoint=False)
+    E, A = np.meshgrid(elev, azim, indexing="ij")
+    dirs = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A),
+                     np.sin(E)], -1).reshape(-1, 3)
+    n = len(dirs)
+    t = np.full((n,), np.inf, np.float32)
+    alive = np.ones((n,), bool)
+    r = hit_radius
+    while r < max_range and alive.any():
+        pts = sensor_pos[None, :] + dirs[alive] * r
+        d, _ = tree.query(pts, k=1, distance_upper_bound=hit_radius)
+        hit = np.isfinite(d)
+        idx = np.where(alive)[0]
+        t[idx[hit]] = r
+        alive[idx[hit]] = False
+        r += hit_radius
+    mask = np.isfinite(t)
+    pts = dirs * np.where(mask, t, 0.0)[:, None]
+    return pts.astype(np.float32), mask
