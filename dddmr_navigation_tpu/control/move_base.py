@@ -154,15 +154,28 @@ class MoveBaseDriver:
             return 0.0, float(wz), Decision(int(self.fsm.decision)), False, False
 
         # --- global plan manager (sync or threaded) ---
+        # The reference's GPM query thread runs at 5 Hz through EVERY
+        # decision state once started (`p2p_global_plan_manager.cpp:83-132`);
+        # plans are only ADOPTED in planning_waitdone / controlling
+        # (`p2p_move_base.cpp:286-303,469-489`). Keep the queries warm in
+        # the align states too so a fresh plan is ready the moment the FSM
+        # re-enters controlling.
         has_new_plan = False
         plan_empty = False
+        decision_q = int(self.fsm.decision)
         if (self.goal is not None
-                and int(self.fsm.decision) in (Decision.D_PLANNING_WAITDONE,
-                                               Decision.D_CONTROLLING,
-                                               Decision.D_WAITING)):
+                and decision_q in (Decision.D_PLANNING_WAITDONE,
+                                   Decision.D_CONTROLLING,
+                                   Decision.D_WAITING,
+                                   Decision.D_ALIGN_HEADING,
+                                   Decision.D_ALIGN_GOAL_HEADING)):
             self.plan_manager.offer(
                 np.asarray(robot_pos), self.dgraph, now,
                 lethal_pts=self.lethal_pts, lethal_valid=self.lethal_valid)
+        if (self.goal is not None
+                and decision_q in (Decision.D_PLANNING_WAITDONE,
+                                   Decision.D_CONTROLLING,
+                                   Decision.D_WAITING)):
             result = self.plan_manager.take_plan()
             if result is not None:
                 n = min(len(result.positions), lcfg.max_plan_len)

@@ -114,7 +114,12 @@ def test_mark_replan_clear_replan(session_ctx):
     assert np.max(np.abs(plan1[:, 1])) > 1.2, "plan did not detour"
 
     # --- phase 2: wall removed → clear + relax ---
-    run(empty, 15, 1.0)
+    # Long enough for the reference's real cycle: finish aligning to the
+    # (old) detour heading (~1.1 rad at the rotate limit), enter
+    # d_controlling, and adopt the replanned straight path there
+    # (`p2p_move_base.cpp:469-489` — plans are adopted in controlling,
+    # while the 5 Hz GPM query thread kept planning during align).
+    run(empty, 30, 1.0)
     dg = np.asarray(sess.composed_dgraph)
     assert (dg[near_wall] > cfg.perception.inscribed_radius).all(), \
         "marks not cleared after the wall vanished"
