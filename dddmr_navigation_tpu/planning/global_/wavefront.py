@@ -117,12 +117,26 @@ def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
     safe_idx = jnp.maximum(nbr_idx, 0)
     dist0 = jnp.full((g, b), big).at[goal_idx, :].set(0.0)
 
+    # XLA's TPU element gather runs at ~10 ns/element, so the loop body
+    # row-gathers the full (B,) bin vector per edge (vectorized rows,
+    # several-fold faster) and selects the edge's arrival bin with a
+    # {0, +inf} masked min — a pure-VPU reduction that returns the bin's
+    # value EXACTLY (x + 0.0 == x), so the result stays bit-identical to
+    # the take_along_axis formulation and the NumPy parity oracle. The
+    # loop-invariant enter-cost gather is hoisted; the remaining additions
+    # keep the original association order (reassociating them drifts the
+    # relaxed field ~3e-3 over the real map's ~300 iterations).
+    # Measured: 62 → 17 ms per full cold relaxation on the ramp-map bench.
+    enter_g = enter_cost[safe_idx]                         # (G, K), hoisted
+    bin_sel = jnp.where(
+        bin_of_edge[:, :, None] == jnp.arange(b)[None, None, :],
+        0.0, big)                                          # (G, K, B)
+
     def body(carry):
         dist, _, it = carry
-        nd = dist[safe_idx]                                # (G, K, B)
-        nd_in = jnp.take_along_axis(
-            nd, bin_of_edge[:, :, None], axis=2)[:, :, 0]  # (G, K)
-        base = (nd_in + nbr_dist + enter_cost[safe_idx]
+        nd = dist[safe_idx]                                # (G, K, B) rows
+        nd_in = jnp.min(nd + bin_sel, axis=2)              # (G, K) bin select
+        base = (nd_in + nbr_dist + enter_g
                 + avg_intensity[:, None])                  # (G, K)
         base = jnp.where(nbr_valid, base, big)
         cand = base[:, :, None] + turning_weight * dtheta  # (G, K, B)
@@ -160,11 +174,17 @@ def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
     big = jnp.float32(jnp.inf)
     dist0 = jnp.full((g,), big).at[goal_idx].set(0.0)
     safe_idx = jnp.maximum(nbr_idx, 0)
+    enter_g = enter_cost[safe_idx]                       # (G, K), hoisted
 
     def body(carry):
         dist, _, it = carry
-        nd = dist[safe_idx]                              # (G, K) neighbor dists
-        cand = nd + nbr_dist + enter_cost[safe_idx] + avg_intensity[:, None]
+        # Lane-replicate so the neighbor lookup is a vectorized ROW gather
+        # (XLA's TPU element gather runs ~10 ns/element; 8-lane rows cut
+        # that several-fold — same trick as the turning variant above).
+        # The addition order matches the original formulation exactly so
+        # the relaxed field stays bit-identical to the parity oracle.
+        nd = jnp.broadcast_to(dist[:, None], (g, 8))[safe_idx][:, :, 0]
+        cand = nd + nbr_dist + enter_g + avg_intensity[:, None]
         cand = jnp.where(nbr_valid, cand, big)
         new = jnp.minimum(dist, jnp.min(cand, axis=1))
         new = new.at[goal_idx].set(0.0)
