@@ -45,12 +45,15 @@ def label_components(occ, tol_cells: int = 2, num_iters: int = 24):
     win = 2 * tol_cells + 1
 
     def sweep(_, lbl):
-        prop = lax.reduce_window(
-            lbl, big, lax.min,
-            window_dimensions=(win, win, win),
-            window_strides=(1, 1, 1),
-            padding="SAME",
-        )
+        # Separable: the min over the (win,win,win) cube equals three 1-D
+        # window mins run in sequence — 3·win ops/cell instead of win³.
+        prop = lbl
+        for dims in ((win, 1, 1), (1, win, 1), (1, 1, win)):
+            prop = lax.reduce_window(
+                prop, big, lax.min,
+                window_dimensions=dims, window_strides=(1, 1, 1),
+                padding="SAME",
+            )
         return jnp.where(occ, jnp.minimum(lbl, prop), big)
 
     labels = lax.fori_loop(0, num_iters, sweep, labels)
@@ -76,10 +79,16 @@ def cluster_table(labels, occ, cell_pos, max_clusters: int):
     flat_occ = occ.reshape(-1).astype(bool)
     flat_pos = cell_pos.reshape(-1, 3)
 
-    uniq = jnp.unique(
-        jnp.where(flat_occ, flat_labels, jnp.iinfo(jnp.int32).max),
-        size=max_clusters + 1, fill_value=jnp.iinfo(jnp.int32).max)
-    uniq = uniq[:max_clusters]
+    # Component roots: cells whose label is their own linear index. Their
+    # indices, taken in ascending order, ARE the sorted unique labels —
+    # nonzero-compaction replaces jnp.unique's full sort of the window
+    # (≈10× cheaper at 128³-class grids). A label chain that failed to
+    # converge within num_iters has no root and falls into the overflow
+    # bucket below (dropped for a tick, like an overflowed cluster).
+    lin = jnp.arange(flat_labels.shape[0], dtype=flat_labels.dtype)
+    root = flat_occ & (flat_labels == lin)
+    uniq = jnp.nonzero(root, size=max_clusters,
+                       fill_value=jnp.iinfo(jnp.int32).max)[0].astype(jnp.int32)
     valid_cluster = uniq != jnp.iinfo(jnp.int32).max
 
     idx = jnp.searchsorted(uniq, flat_labels)
