@@ -1,0 +1,281 @@
+"""The fused perception→replan→rollout vertical as ONE device program.
+
+`NavigationSession` drives the reference's full loop with host glue:
+mark/clear (`perception_3d_ros.cpp:220-249`), min-composed dGraph
+(`stacked_perception.cpp:114-126`), lethal aggregation (`:142-155`),
+global replan (`a_star_on_pc.cpp:200-329` + `global_planner.cpp:313-391`),
+prune + rollouts + critics (`local_planner.cpp:482-621`). Here the SAME
+chain is one jitted function where each stage consumes the previous
+stage's *output* — the plan fed to the critics comes from this tick's own
+wavefront extraction over this tick's own mark/clear distance field:
+
+    scan ─ mark/clear ─→ dGraph ─ min-compose ─→ composed field
+        ├─ lethal cloud ─→ long-edge LOS gate ─┐
+        └────────────────→ wavefront relax ────┴→ path extract
+        → device pose interpolation (getROSPath) → prune → rollouts
+        → critics (vs this scan's own observation) → argmin → cmd_vel
+
+No host↔device transfer between stages; a closed-loop chain of ticks is
+one `lax.scan` dispatch. Parity with the host-glued path is asserted by
+`tests/test_fused_vertical.py`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dddmr_navigation_tpu.config import NavigationConfig
+from dddmr_navigation_tpu.geometry import quat_rotate, slope_aware_quat
+from dddmr_navigation_tpu.perception.voxel import VoxelSpec
+from dddmr_navigation_tpu.perception.fov import RangeImageSpec
+from dddmr_navigation_tpu.perception.static_map import (
+    MapContext, build_map_context)
+from dddmr_navigation_tpu.perception.marking import (
+    MarkingParams, MarkingState, init_marking_state, perception_update)
+from dddmr_navigation_tpu.perception.layers import min_dgraph
+from dddmr_navigation_tpu.planning.global_.graph import build_ground_graph
+from dddmr_navigation_tpu.planning.global_.los import lethal_cloud_from_dgraph
+from dddmr_navigation_tpu.planning.global_.planner import (
+    GlobalPathResult, plan_on_graph)
+from dddmr_navigation_tpu.planning.local.planner import (
+    GlobalPlan, VelocityCommand, compute_velocity_command)
+
+
+class FusedMap(NamedTuple):
+    """Static per-map device data for the fused vertical (one pytree so it
+    rides dispatches as arguments, not as jit closure constants)."""
+    map_ctx: MapContext
+    ground: jnp.ndarray         # (G, 3)
+    ground_valid: jnp.ndarray   # (G,)
+    nbr_idx: jnp.ndarray        # (G, K)
+    nbr_dist: jnp.ndarray       # (G, K)
+    nbr_valid: jnp.ndarray      # (G, K)
+    avg_intensity: jnp.ndarray  # (G,)
+    node_weight: jnp.ndarray    # (G,)
+    static_dgraph: jnp.ndarray  # (G,) static-layer field (overhang lethals)
+
+
+class FusedState(NamedTuple):
+    marking: MarkingState
+
+
+class FusedOut(NamedTuple):
+    vx: jnp.ndarray
+    wz: jnp.ndarray
+    state: jnp.ndarray          # PlannerState code
+    best_cost: jnp.ndarray
+    plan: GlobalPlan            # this tick's interpolated global plan
+    plan_ok: jnp.ndarray        # global planner succeeded
+    composed_dgraph: jnp.ndarray
+    obs: jnp.ndarray            # (k, 3) this tick's aggregated observation
+    obs_mask: jnp.ndarray       # (k,)
+
+
+def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
+                    map_pts: Optional[np.ndarray] = None,
+                    node_weight: Optional[np.ndarray] = None,
+                    static_dgraph: Optional[np.ndarray] = None,
+                    intensity: Optional[np.ndarray] = None) -> FusedMap:
+    """Precompute the kNN ground graph + map context (same parameters as
+    `GlobalPlannerRuntime`, `global_planner.cpp:156-176` sync)."""
+    ground = np.asarray(ground, np.float32)
+    g = len(ground)
+    graph = build_ground_graph(
+        ground, radius=cfg.global_planner.a_star_expanding_radius,
+        k_max=cfg.perception.static_layer.max_ground_neighbors,
+        intensity=intensity)
+    nw = (np.zeros(g, np.float32) if node_weight is None
+          else np.asarray(node_weight, np.float32))
+    sd = (np.full((g,), cfg.perception.max_obstacle_distance, np.float32)
+          if static_dgraph is None else np.asarray(static_dgraph, np.float32))
+    return FusedMap(
+        map_ctx=build_map_context(ground, map_pts, node_weight=node_weight),
+        ground=jnp.asarray(ground),
+        ground_valid=jnp.ones((g,), bool),
+        nbr_idx=jnp.asarray(graph.nbr_idx),
+        nbr_dist=jnp.asarray(graph.nbr_dist),
+        nbr_valid=jnp.asarray(graph.nbr_valid),
+        avg_intensity=jnp.asarray(graph.avg_intensity),
+        node_weight=jnp.asarray(nw),
+        static_dgraph=jnp.asarray(sd),
+    )
+
+
+def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
+                     robot_xyz=None) -> FusedState:
+    p = cfg.perception
+    params = MarkingParams.from_config(p)
+    spec = VoxelSpec(
+        nx=p.voxel_window_cells_xy, ny=p.voxel_window_cells_xy,
+        nz=p.voxel_window_cells_z, xy_resolution=p.lidar.xy_resolution,
+        height_resolution=p.lidar.height_resolution)
+    return FusedState(marking=init_marking_state(spec, params,
+                                                 num_ground_nodes, robot_xyz))
+
+
+def device_observation(scan_pts, scan_mask, k: int, leaf: float = 0.1):
+    """Aggregated observation ON DEVICE: one representative point per
+    occupied ``leaf`` voxel of the valid scan, padded to ``k``.
+
+    The reference voxel-downsamples the transformed scan in cbSensor
+    (`multilayer_spinning_lidar.cpp:264-269`); the host session uses a
+    centroid filter (`io/maps.py:voxel_downsample`). Here the voxel's
+    representative is its first scan point (deterministic lexicographic
+    dedup) — centroids would need a segmented mean; the ≤leaf/2 shift is
+    below the critics' resolution.
+    """
+    n = scan_pts.shape[0]
+    cells = jnp.floor(scan_pts / leaf).astype(jnp.int32)
+    sentinel = jnp.int32(2**30)
+    cells = jnp.where(scan_mask[:, None], cells, sentinel)
+    order = jnp.lexsort((jnp.arange(n), cells[:, 2], cells[:, 1],
+                         cells[:, 0]))
+    sc = cells[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), jnp.any(sc[1:] != sc[:-1], axis=1)])
+    first = first & (sc[:, 0] != sentinel)
+    idx = jnp.nonzero(first, size=k, fill_value=-1)[0]
+    ok = idx >= 0
+    pts = scan_pts[order][jnp.maximum(idx, 0)]
+    return jnp.where(ok[:, None], pts, 0.0), ok
+
+
+def interpolate_path_device(ground, res: GlobalPathResult, *,
+                            max_plan_len: int, interp_steps: int = 19,
+                            step: float = 0.05, min_emit: float = 0.1
+                            ) -> GlobalPlan:
+    """`getROSPath` (`global_planner.cpp:313-391`) on device: node path →
+    poses with slope-aware quats; per segment, interpolated candidates at
+    ``step`` fractions are emitted whenever they moved > ``min_emit`` from
+    the last emitted pose. Matches `planner.path_to_poses` (the host
+    version) emission-for-emission; the sequential per-segment emission
+    test is a `lax.scan` over the (static) 19 steps, vectorized over path
+    slots, and the ragged result is compacted with a cumsum scatter.
+    """
+    L = res.node_ids.shape[0]
+    valid = res.node_valid
+    n = res.length
+    ids = jnp.maximum(res.node_ids, 0)
+    pts = ground[ids]                                      # (L, 3)
+    slots = jnp.arange(L)
+    has_next = valid & (slots < n - 1)
+    nxt = jnp.where(has_next[:, None],
+                    ground[ids[jnp.minimum(slots + 1, L - 1)]], pts)
+    v = nxt - pts                                          # (L, 3)
+    quats = slope_aware_quat(v)                            # (L, 4)
+
+    # emission flags for the interpolated candidates (host loop semantics:
+    # last starts at the node; emit when ||cand-last|| > min_emit). The
+    # step constants are the SAME f32 values as the host loop's so the
+    # emission pattern matches bit-for-bit.
+    steps = jnp.asarray(np.arange(step, 0.99, step, dtype=np.float32)
+                        [:interp_steps])
+
+    def body(last, s):
+        cand = pts + v * s
+        emit = jnp.linalg.norm(cand - last, axis=-1) > jnp.float32(min_emit)
+        new_last = jnp.where(emit[:, None], cand, last)
+        return new_last, (emit, cand)
+
+    _, (emits, cands) = jax.lax.scan(body, pts, steps)
+    emits = jnp.moveaxis(emits, 0, 1)                      # (L, S)
+    cands = jnp.moveaxis(cands, 0, 1)                      # (L, S, 3)
+
+    E = interp_steps + 1
+    emit_all = jnp.concatenate(
+        [valid[:, None], emits & has_next[:, None]], axis=1)     # (L, E)
+    pos_all = jnp.concatenate([pts[:, None, :], cands], axis=1)  # (L, E, 3)
+    quat_all = jnp.broadcast_to(quats[:, None, :], (L, E, 4))
+
+    flat_emit = emit_all.reshape(-1)
+    out_idx = jnp.cumsum(flat_emit) - 1
+    count = jnp.minimum(jnp.sum(flat_emit), max_plan_len).astype(jnp.int32)
+    tgt = jnp.where(flat_emit & (out_idx < max_plan_len), out_idx,
+                    max_plan_len)
+    pos_buf = jnp.zeros((max_plan_len, 3), jnp.float32).at[tgt].set(
+        pos_all.reshape(-1, 3), mode="drop")
+    quat_buf = jnp.zeros((max_plan_len, 4), jnp.float32).at[tgt].set(
+        quat_all.reshape(-1, 4), mode="drop")
+    plan_valid = (jnp.arange(max_plan_len) < count) & res.ok
+    count = jnp.where(res.ok, count, 0)
+    return GlobalPlan(pos_buf, quat_buf, plan_valid, count)
+
+
+def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
+               ri_spec: RangeImageSpec, params: MarkingParams,
+               generator: str, fmap: FusedMap, state: FusedState,
+               scan_sensor, scan_mask, robot_pos, robot_quat,
+               sensor_offset, goal_pos, v_now, w_now,
+               allowed_max_speed=-1.0):
+    """One full vertical tick on device. ``scan_sensor`` is the live sweep
+    in the SENSOR frame (rotated to global inside the program).
+
+    Static args: nav_cfg/spec/ri_spec/params/generator — jit with
+    ``static_argnums=(0, 1, 2, 3, 4)`` or use :func:`make_fused_tick`.
+    """
+    p = nav_cfg.perception
+    sensor_pos = robot_pos + quat_rotate(robot_quat, sensor_offset)
+    scan_global = quat_rotate(robot_quat[None, :], scan_sensor) \
+        + sensor_pos[None, :]
+
+    # 1. mark/clear → dynamic-layer dGraph
+    marking = perception_update(
+        spec, ri_spec, params, state.marking, fmap.map_ctx, scan_global,
+        scan_mask, robot_pos, robot_quat, sensor_pos, robot_quat)
+
+    # 2. stacked composition + lethal aggregation
+    composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
+    lethal_pts, lethal_valid = lethal_cloud_from_dgraph(
+        fmap.ground, fmap.ground_valid, composed,
+        inscribed_radius=p.inscribed_radius,
+        max_lethal=nav_cfg.global_planner.max_lethal_points)
+
+    # 3. global replan over THIS tick's composed field
+    res = plan_on_graph(
+        nav_cfg.global_planner, fmap.nbr_idx, fmap.nbr_dist, fmap.nbr_valid,
+        fmap.ground, fmap.ground_valid, composed, fmap.node_weight,
+        fmap.avg_intensity, robot_pos, goal_pos,
+        inscribed_radius=p.inscribed_radius,
+        inflation_descending_rate=p.inflation_descending_rate,
+        lethal_pts=lethal_pts, lethal_valid=lethal_valid)
+
+    # 4. node path → interpolated plan (getROSPath) on device
+    plan = interpolate_path_device(
+        fmap.ground, res, max_plan_len=nav_cfg.local_planner.max_plan_len)
+
+    # 5. observation from THIS scan; 6. prune → rollouts → critics → argmin
+    obs, obs_mask = device_observation(
+        scan_global, scan_mask, nav_cfg.local_planner.max_obstacle_points)
+    cmd = compute_velocity_command(
+        nav_cfg.local_planner, plan, robot_pos, robot_quat, v_now, w_now,
+        obs, obs_mask, allowed_max_speed=allowed_max_speed,
+        generator=generator)
+
+    out = FusedOut(vx=cmd.vx, wz=cmd.wz, state=cmd.state,
+                   best_cost=cmd.best_cost, plan=plan, plan_ok=res.ok,
+                   composed_dgraph=composed, obs=obs, obs_mask=obs_mask)
+    return FusedState(marking=marking), out
+
+
+def make_fused_tick(nav_cfg: NavigationConfig,
+                    generator: str = "differential_drive_simple"):
+    """Returns (jitted_tick, spec, ri_spec, params); the callable signature
+    is ``tick(fmap, state, scan_sensor, scan_mask, robot_pos, robot_quat,
+    sensor_offset, goal_pos, v_now, w_now)``."""
+    p = nav_cfg.perception
+    params = MarkingParams.from_config(p)
+    spec = VoxelSpec(
+        nx=p.voxel_window_cells_xy, ny=p.voxel_window_cells_xy,
+        nz=p.voxel_window_cells_z, xy_resolution=p.lidar.xy_resolution,
+        height_resolution=p.lidar.height_resolution)
+    ri_spec = RangeImageSpec(
+        rows=p.lidar.range_image_rows, cols=p.lidar.range_image_cols,
+        elev_min_deg=p.lidar.vertical_FOV_bottom,
+        elev_max_deg=p.lidar.vertical_FOV_top)
+    fn = jax.jit(partial(fused_tick, nav_cfg, spec, ri_spec, params,
+                         generator))
+    return fn, spec, ri_spec, params

@@ -138,6 +138,14 @@ class AsyncPlanManager(SyncPlanManager):
         self._shutdown = True
         self._thread.join(timeout=5.0)
 
+    def set_goal(self, goal_pos, goal_quat):
+        """Swap the goal under the lock: the worker publishes a finished
+        plan only when the goal it planned for is still current, so a plan
+        for a superseded goal can never surface as fresh (the unlocked
+        read/swap race the round-2 review flagged)."""
+        with self._lock:
+            super().set_goal(goal_pos, goal_quat)
+
     def offer(self, robot_pos, dgraph, now, lethal_pts=None,
               lethal_valid=None):
         with self._lock:
@@ -161,13 +169,13 @@ class AsyncPlanManager(SyncPlanManager):
         period = 1.0 / self.query_frequency
         while not self._shutdown:
             t0 = time.monotonic()
-            snap = None
-            if self.active and self.goal is not None:
-                with self._lock:
-                    snap = self._snapshot
+            snap = goal = None
+            with self._lock:
+                if self.active and self.goal is not None:
+                    snap, goal = self._snapshot, self.goal
             if snap is not None:
                 try:
-                    gp, gq = self.goal
+                    gp, gq = goal
                     if self.action == "get_dwa_plan":
                         self.dwa.maybe_recompute(
                             snap.robot_pos, snap.dgraph, snap.now,
@@ -184,7 +192,10 @@ class AsyncPlanManager(SyncPlanManager):
                             lethal_valid=snap.lethal_valid)
                         path = None if full is None else CachedPlan(*full)
                     with self._lock:
-                        if self.active:   # a stop() may have raced the query
+                        # a stop() or set_goal() may have raced the query:
+                        # publish only if still active AND the goal we
+                        # planned for is still the current goal
+                        if self.active and self.goal is goal:
                             self._empty_result = path is None
                             if path is not None:
                                 self._plan = path

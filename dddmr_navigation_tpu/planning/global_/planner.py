@@ -99,11 +99,16 @@ def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,
     Returns (positions (M,3) f32, quats (M,4) f32).
     """
     ids = np.asarray(result.node_ids)[np.asarray(result.node_valid)]
-    ground = np.asarray(ground)
+    ground = np.asarray(ground, np.float32)
     if len(ids) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.float32)
     pts = ground[ids]
     positions, quats = [], []
+    # float32 throughout (incl. the step constants) so the device version
+    # (`control/fused.py:interpolate_path_device`) is emission-for-emission
+    # identical; the reference's f64 loop differs only at exact-0.1
+    # boundaries (a ≤1.25 cm pose shift).
+    steps = np.arange(0.05, 0.99, 0.05, dtype=np.float32)
     for i in range(len(pts)):
         p = pts[i]
         nxt = pts[i + 1] if i < len(pts) - 1 else pts[i]
@@ -113,9 +118,9 @@ def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,
             positions.append(p)
             quats.append(q)
             last = p
-            for step in np.arange(0.05, 0.99, 0.05):
+            for step in steps:
                 cand = p + v * step
-                if np.linalg.norm(cand - last) > 0.1:
+                if np.linalg.norm(cand - last) > np.float32(0.1):
                     positions.append(cand)
                     quats.append(q)
                     last = cand

@@ -1,0 +1,181 @@
+"""Fused vertical parity: the single-program tick must match the
+host-glued chain (what `NavigationSession` does: perception_update →
+min-compose → lethal → GlobalPlannerRuntime.plan → path_to_poses →
+make_global_plan → compute_velocity_command) stage for stage.
+
+Reference call stacks: `perception_3d_ros.cpp:220-249`,
+`a_star_on_pc.cpp:200-329`, `global_planner.cpp:313-391`,
+`local_planner.cpp:482-621`.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dddmr_navigation_tpu.config import (
+    NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
+    PerceptionConfig, SpinningLidarConfig)
+from dddmr_navigation_tpu.geometry import quat_from_yaw
+from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+from dddmr_navigation_tpu.perception.marking import perception_update
+from dddmr_navigation_tpu.perception.layers import min_dgraph
+from dddmr_navigation_tpu.planning.global_.los import lethal_cloud_from_dgraph
+from dddmr_navigation_tpu.planning.global_.runtime import GlobalPlannerRuntime
+from dddmr_navigation_tpu.planning.local.planner import (
+    make_global_plan, compute_velocity_command)
+from dddmr_navigation_tpu.control.fused import (
+    build_fused_map, init_fused_state, make_fused_tick, device_observation)
+
+
+def _light_cfg():
+    lidar = SpinningLidarConfig(
+        scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
+        max_scan_points=4096, range_image_rows=16, range_image_cols=360)
+    perception = PerceptionConfig(
+        lidar=lidar, voxel_window_cells_xy=64, voxel_window_cells_z=24,
+        max_marked_voxels=512)
+    lp = LocalPlannerConfig(
+        generator=DDSimpleGeneratorConfig(
+            linear_x_sample=4, angular_z_sample=6, max_num_steps=24),
+        max_obstacle_points=512, collision_obstacle_chunk=16,
+        collision_near_k=64)
+    return NavigationConfig(local_planner=lp, perception=perception)
+
+
+def _scan_from_box(center, robot_pos, sensor_offset, n_pad):
+    """A synthetic obstacle cloud in the SENSOR frame."""
+    pts_world = box_obstacle(center, size=(0.4, 0.8, 1.0), resolution=0.1)
+    pts = pts_world - (np.asarray(robot_pos) + np.asarray(sensor_offset))
+    pad = np.zeros((n_pad, 3), np.float32)
+    pad[:len(pts)] = pts[:n_pad]
+    mask = np.zeros((n_pad,), bool)
+    mask[:min(len(pts), n_pad)] = True
+    return pad, mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _light_cfg()
+    ground = flat_ground_map(10, 6, 0.25)
+    fmap = build_fused_map(cfg, ground)
+    tick, spec, ri_spec, params = make_fused_tick(cfg)
+    return cfg, ground, fmap, tick, spec, ri_spec, params
+
+
+def test_fused_tick_matches_host_glued_chain(setup):
+    cfg, ground, fmap, tick, spec, ri_spec, params = setup
+    robot_pos = np.array([-4.0, 0.0, 0.0], np.float32)
+    robot_quat = np.asarray(quat_from_yaw(jnp.float32(0.0)))
+    goal = np.array([4.0, 0.0, 0.0], np.float32)
+    offset = np.array([0.0, 0.0, 0.5], np.float32)
+    scan, smask = _scan_from_box([-2.0, 0.3, 0.0], robot_pos, offset,
+                                 cfg.perception.lidar.max_scan_points)
+
+    state = init_fused_state(cfg, len(ground), robot_xyz=robot_pos)
+    state2, out = tick(fmap, state, jnp.asarray(scan), jnp.asarray(smask),
+                       jnp.asarray(robot_pos), jnp.asarray(robot_quat),
+                       jnp.asarray(offset), jnp.asarray(goal),
+                       jnp.float32(0.2), jnp.float32(0.0))
+
+    # --- host-glued chain over the same inputs -------------------------
+    sensor_pos = robot_pos + offset
+    scan_global = scan + sensor_pos[None, :]
+    jit_pu = jax.jit(perception_update, static_argnums=(0, 1, 2))
+    marking = jit_pu(spec, ri_spec, params, state.marking, fmap.map_ctx,
+                     jnp.asarray(scan_global), jnp.asarray(smask),
+                     jnp.asarray(robot_pos), jnp.asarray(robot_quat),
+                     jnp.asarray(sensor_pos), jnp.asarray(robot_quat))
+    composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
+    np.testing.assert_allclose(np.asarray(out.composed_dgraph),
+                               np.asarray(composed), atol=1e-5)
+
+    lp, lv = lethal_cloud_from_dgraph(
+        fmap.ground, fmap.ground_valid, composed,
+        inscribed_radius=cfg.perception.inscribed_radius,
+        max_lethal=cfg.global_planner.max_lethal_points)
+    rt = GlobalPlannerRuntime(cfg, ground)
+    host = rt.plan(robot_pos, goal, composed, lethal_pts=lp, lethal_valid=lv)
+    assert host is not None and bool(out.plan_ok)
+    pos_h, quat_h = host
+
+    n_dev = int(out.plan.count)
+    assert n_dev == len(pos_h), (n_dev, len(pos_h))
+    np.testing.assert_allclose(np.asarray(out.plan.positions[:n_dev]),
+                               pos_h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.plan.quats[:n_dev]),
+                               quat_h, atol=1e-5)
+
+    host_plan = make_global_plan(pos_h, quat_h,
+                                 max_len=cfg.local_planner.max_plan_len)
+    cmd = compute_velocity_command(
+        cfg.local_planner, host_plan, jnp.asarray(robot_pos),
+        jnp.asarray(robot_quat), jnp.float32(0.2), jnp.float32(0.0),
+        out.obs, out.obs_mask)
+    assert int(cmd.state) == int(out.state)
+    np.testing.assert_allclose(float(out.vx), float(cmd.vx), atol=1e-6)
+    np.testing.assert_allclose(float(out.wz), float(cmd.wz), atol=1e-6)
+
+
+def test_fused_plan_reacts_to_marked_obstacle(setup):
+    """The plan fed to the critics must come from THIS tick's wavefront:
+    marking a wall across the straight-line path bends the extracted plan
+    around it (the round-2 review's honesty criterion for config 3)."""
+    cfg, ground, fmap, tick, *_ = setup
+    robot_pos = np.array([-4.0, 0.0, 0.0], np.float32)
+    robot_quat = np.asarray(quat_from_yaw(jnp.float32(0.0)))
+    goal = np.array([4.0, 0.0, 0.0], np.float32)
+    offset = np.array([0.0, 0.0, 0.5], np.float32)
+    n_pad = cfg.perception.lidar.max_scan_points
+
+    # tick A: empty scan (enough points to count as fresh is irrelevant
+    # here — the program always runs) → straight plan
+    empty = np.zeros((n_pad, 3), np.float32)
+    emask = np.zeros((n_pad,), bool)
+    state = init_fused_state(cfg, len(ground), robot_xyz=robot_pos)
+    _, out_free = tick(fmap, state, jnp.asarray(empty), jnp.asarray(emask),
+                       jnp.asarray(robot_pos), jnp.asarray(robot_quat),
+                       jnp.asarray(offset), jnp.asarray(goal),
+                       jnp.float32(0.2), jnp.float32(0.0))
+    n_free = int(out_free.plan.count)
+    y_free = float(np.abs(np.asarray(out_free.plan.positions[:n_free, 1])).max())
+
+    # tick B: wall across the corridor 1 m ahead (inside the 3.2 m
+    # robot-centric voxel window of the light config)
+    wall = np.concatenate([
+        box_obstacle([-3.0, y, 0.0], size=(0.3, 0.3, 1.2), resolution=0.1)
+        for y in (-1.2, -0.6, 0.0, 0.6, 1.2)])
+    wall_s = wall - (robot_pos + offset)
+    scan = np.zeros((n_pad, 3), np.float32)
+    scan[:len(wall_s)] = wall_s[:n_pad]
+    smask = np.zeros((n_pad,), bool)
+    smask[:min(len(wall_s), n_pad)] = True
+    state = init_fused_state(cfg, len(ground), robot_xyz=robot_pos)
+    _, out_wall = tick(fmap, state, jnp.asarray(scan), jnp.asarray(smask),
+                       jnp.asarray(robot_pos), jnp.asarray(robot_quat),
+                       jnp.asarray(offset), jnp.asarray(goal),
+                       jnp.float32(0.2), jnp.float32(0.0))
+    assert bool(out_wall.plan_ok)
+    n_wall = int(out_wall.plan.count)
+    y_wall = float(np.abs(np.asarray(out_wall.plan.positions[:n_wall, 1])).max())
+    assert y_wall > y_free + 0.5, (y_free, y_wall)
+    # and the marked field actually differs where the wall is
+    assert float(jnp.min(out_wall.composed_dgraph)) < float(
+        jnp.min(out_free.composed_dgraph))
+
+
+def test_device_observation_one_point_per_voxel():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-2, 2, size=(600, 3)).astype(np.float32)
+    mask = rng.random(600) < 0.8
+    obs, ok = device_observation(jnp.asarray(pts), jnp.asarray(mask), 1024,
+                                 leaf=0.1)
+    got = np.asarray(obs)[np.asarray(ok)]
+    want_vox = np.unique(np.floor(pts[mask] / 0.1).astype(np.int64), axis=0)
+    got_vox = np.unique(np.floor(got / 0.1).astype(np.int64), axis=0)
+    assert len(got) == len(want_vox)            # one representative each
+    np.testing.assert_array_equal(got_vox, want_vox)
+    # every representative is an actual (valid) scan point
+    valid_set = {tuple(p) for p in pts[mask].tolist()}
+    assert all(tuple(p) in valid_set for p in got.tolist())

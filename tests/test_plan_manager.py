@@ -142,3 +142,55 @@ def test_threaded_driver_navigates():
         assert done and ok, f"not done; pos {pos}"
     finally:
         driver.plan_manager.close()
+
+
+def test_async_set_goal_race_never_publishes_stale_goal():
+    """Hammer set_goal/offer against the worker: after every goal swap, a
+    plan published as fresh must lead to the CURRENT goal, never a
+    superseded one (round-2 review: the worker read `goal` unlocked, so a
+    stale goal's plan could surface as fresh just after a new goal
+    arrived)."""
+    ground = flat_ground_map(10, 6, 0.25)
+    rt = GlobalPlannerRuntime(CFG, ground)
+    dwa = DWAGlobalPlanManager(rt, CFG.dwa_global_planner)
+    mgr = AsyncPlanManager(dwa, query_frequency=200.0)
+    goals = [np.array([4.0, 0.0, 0.0], np.float32),
+             np.array([-4.0, 0.5, 0.0], np.float32),
+             np.array([0.0, -2.5, 0.0], np.float32)]
+    try:
+        g = len(ground)
+        free = np.full((g,), CFG.perception.max_obstacle_distance, np.float32)
+        robot = np.array([0.0, 0.0, 0.0], np.float32)
+        ident = np.array([0, 0, 0, 1], np.float32)
+
+        # warm-up: compile the planning programs on one stable goal
+        mgr.set_goal(goals[0], ident)
+        mgr.offer(robot, free, now=0.0)
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline and mgr.take_plan() is None:
+            time.sleep(0.02)
+
+        checked = 0
+        i = 0
+        deadline = time.monotonic() + 20.0
+        while time.monotonic() < deadline and checked < 10:
+            i += 1
+            cur = goals[i % len(goals)]
+            mgr.set_goal(cur, ident)
+            mgr.offer(robot, free, now=float(i))
+            # worker may or may not finish before the next swap; any plan
+            # that DOES surface must match the goal current at take time
+            t_poll = time.monotonic() + 0.25
+            while time.monotonic() < t_poll:
+                plan = mgr.take_plan()
+                if plan is not None:
+                    goal_now = mgr.goal[0]
+                    err = np.linalg.norm(plan.positions[-1] - goal_now)
+                    assert err < 0.5, (
+                        f"stale plan surfaced: ends {plan.positions[-1]}, "
+                        f"current goal {goal_now}")
+                    checked += 1
+                time.sleep(0.005)
+        assert checked >= 3, "race test never observed a published plan"
+    finally:
+        mgr.close()
