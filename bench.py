@@ -88,7 +88,8 @@ def _time_chains(run, make_args, ticks, reps):
 
 def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
                    linear_samples=16, angular_samples=16,
-                   collision_backend="xla", obstacle_chunk=16):
+                   collision_backend="xla", obstacle_chunk=16,
+                   analyze=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -149,7 +150,7 @@ def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
     import numpy as np
     rollouts_per_tick = b * s_padded
     best = min(per_tick)
-    return {
+    result = {
         "rollouts_per_s": rollouts_per_tick / best,
         "tick_ms": 1e3 * best,
         "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
@@ -158,10 +159,113 @@ def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
         "found": int(_force(out[1]).sum()),
         "compile_s": round(compile_s, 1),
     }
+    if analyze:
+        result["roofline"] = _roofline(
+            run, make_args(), ticks, best, robots=b, samples=s_padded,
+            steps=cfg.generator.max_num_steps,
+            near_k=min(cfg.collision_near_k, obstacles_n),
+            prune_len=cfg.max_prune_len)
+    return result
+
+
+def analytic_flops_per_tick(robots, samples, steps, near_k, prune_len):
+    """Dominant-term FLOP count of one fleet control tick (model and
+    per-term derivation in ROOFLINE.md; the critics are deliberately
+    elementwise-VPU work — the collision einsum was de-MXU'd in round 2
+    because a 3-wide contraction can't feed the systolic array)."""
+    rollout = samples * steps * 20                     # unicycle + transform
+    axes = samples * steps * (90 + 18)                 # cuboid axes + proj_c
+    collision = samples * steps * near_k * 21          # 3 axes x 7 flops/pt
+    stick = samples * steps * prune_len * 8            # NN distance scan
+    end_critics = samples * prune_len * 10             # end-pose critics
+    return robots * (rollout + axes + collision + stick + end_critics)
+
+
+def _roofline(jitted, args, ticks, tick_s, *, robots, samples, steps,
+              near_k, prune_len):
+    """Roofline position of the timed program. FLOPs come from the
+    analytic model (exact for the dominant terms); XLA's cost model is
+    recorded as a cross-check LOWER bound (it counts loop bodies once).
+    Ceilings: MXU bf16 peak, an estimated VPU f32 peak (this workload is
+    elementwise — see ROOFLINE.md), and HBM bandwidth."""
+    import jax
+    f_tick = float(analytic_flops_per_tick(robots, samples, steps, near_k,
+                                           prune_len))
+    xla_flops = xla_bytes = None
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0))
+        xla_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:  # pragma: no cover - backend-dependent
+        pass
+    kind = jax.devices()[0].device_kind.lower()
+    if "v4" in kind:
+        peak_mxu, peak_bw, clock = 275e12, 1228e9, 1.05e9
+        peaks = "v4: 275 TF bf16, 1228 GB/s"
+    elif "v6" in kind:
+        peak_mxu, peak_bw, clock = 918e12, 1640e9, 1.75e9
+        peaks = "v6e: 918 TF bf16, 1640 GB/s"
+    else:  # v5e default (device_kind reports 'TPU v5 lite')
+        peak_mxu, peak_bw, clock = 197e12, 819e9, 1.5e9
+        peaks = ("v5e: 197 TF bf16, 819 GB/s HBM"
+                 if ("v5" in kind) else f"unknown ({kind}); v5e assumed")
+    # VPU estimate: one (8,128)-lane vector unit x 2 flops (FMA) x clock —
+    # an order-of-magnitude ceiling for elementwise f32 (±2-3x; not a
+    # published number). See ROOFLINE.md.
+    peak_vpu = 1024 * 2 * clock
+    frac_mxu = (f_tick / tick_s) / peak_mxu
+    frac_vpu = (f_tick / tick_s) / peak_vpu
+    out = {
+        "model_flops_per_tick": round(f_tick),
+        "achieved_tflops": round(f_tick / tick_s / 1e12, 3),
+        "peaks": peaks,
+        "frac_of_mxu_bf16_peak": round(frac_mxu, 4),
+        "vpu_f32_peak_est_tflops": round(peak_vpu / 1e12, 1),
+        "frac_of_vpu_peak_est": round(frac_vpu, 3),
+    }
+    if xla_bytes is not None:
+        # loop bodies counted once ⇒ lower bounds; still useful for the
+        # HBM fraction because the big tensors live OUTSIDE the loops
+        b_tick = xla_bytes  # per-tick (scan body counted once)
+        out["xla_flops_lower_bound"] = round(xla_flops)
+        out["xla_bytes_lower_bound"] = round(b_tick)
+        out["achieved_gbps_lower_bound"] = round(b_tick / tick_s / 1e9, 1)
+        out["frac_of_hbm_peak"] = round((b_tick / tick_s) / peak_bw, 4)
+    fracs = {"vpu(est)": frac_vpu,
+             "hbm": out.get("frac_of_hbm_peak", 0.0), "mxu": frac_mxu}
+    out["bound"] = max(fracs, key=fracs.get)
+    out["speed_of_light_frac"] = round(max(fracs.values()), 4)
+    return out
+
+
+def bench_collision_backends(ticks=50, reps=3):
+    """Headline throughput with the XLA elementwise collision sweep vs the
+    Pallas fused kernel (`ops/collision.py`) — settles which backend the
+    recorded numbers should use (round-2 review: the Pallas kernel was
+    never benched on chip)."""
+    out = {}
+    for backend in ("xla", "pallas"):
+        try:
+            r = bench_headline(ticks=ticks, reps=reps,
+                               collision_backend=backend)
+            out[backend] = {"rollouts_per_s": round(r["rollouts_per_s"]),
+                            "tick_ms": round(r["tick_ms"], 3),
+                            "compile_s": r["compile_s"]}
+        except Exception as e:
+            out[backend] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    if all("rollouts_per_s" in v for v in out.values()):
+        out["winner"] = max(("xla", "pallas"),
+                            key=lambda k: out[k]["rollouts_per_s"])
+    return out
 
 
 # ---------------------------------------------------------------------------
-# config 2: ramp map + FULL 3D mark/clear fused into the control tick
+# config 2: ramp map + FULL 3D mark/clear fused into the control tick —
+# the critics consume the observation derived from THIS tick's scan and
+# the path-blocked opinion reads THIS tick's prune plan vs that
+# observation (the round-2 review's dataflow-honesty fix)
 # ---------------------------------------------------------------------------
 
 def bench_config2(ticks=30, reps=4):
@@ -173,12 +277,14 @@ def bench_config2(ticks=30, reps=4):
     from dddmr_navigation_tpu.geometry import quat_from_yaw
     from dddmr_navigation_tpu.io.maps import ramp_ground_map
     from dddmr_navigation_tpu.planning.local.planner import (
-        make_global_plan, compute_velocity_command)
+        make_global_plan, compute_velocity_command, PlannerState)
     from dddmr_navigation_tpu.perception.voxel import VoxelSpec
     from dddmr_navigation_tpu.perception.fov import RangeImageSpec
     from dddmr_navigation_tpu.perception.static_map import build_map_context
     from dddmr_navigation_tpu.perception.marking import (
         MarkingParams, init_marking_state, perception_update)
+    from dddmr_navigation_tpu.perception.layers import path_blocked
+    from dddmr_navigation_tpu.control.fused import device_observation
     from dddmr_navigation_tpu.utils.lidar_sim import BoxWorld, simulate_scan
 
     # BASELINE config 2: ramp map, 4 s horizon, ~2k rollouts, 16-line lidar
@@ -209,12 +315,6 @@ def bench_config2(ticks=30, reps=4):
     plan = make_global_plan(
         np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1),
         max_len=cfg.max_plan_len)
-    k = cfg.max_obstacle_points
-    obs = np.zeros((k, 3), np.float32)
-    sel = scan_pts[scan_mask][:k]
-    obs[:len(sel)] = sel
-    obs_mask = np.zeros((k,), bool)
-    obs_mask[:len(sel)] = True
 
     state0 = init_marking_state(spec, params, len(ground))
     rq = jnp.asarray(np.asarray(quat_from_yaw(jnp.float32(0.0))))
@@ -222,20 +322,30 @@ def bench_config2(ticks=30, reps=4):
     sp = rp + jnp.asarray([0.0, 0.0, 0.5])
 
     @jax.jit
-    def run(mstate, scan, smask, plan, obs, obs_mask):
+    def run(mstate, scan, smask, plan):
         def body(s, _):
+            # 1. mark/clear from the live scan (state chains tick→tick)
             s2 = perception_update(spec, ri, params, s, map_ctx, scan,
                                    smask, rp, rq, sp, rq)
+            # 2. the critics' observation comes from THIS scan
+            obs, obs_mask = device_observation(scan, smask,
+                                               cfg.max_obstacle_points)
             cmd = compute_velocity_command(
                 cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
                 obs, obs_mask)
-            return s2, (cmd.vx, jnp.sum(s2.grid))
-        final, (vxs, marks) = jax.lax.scan(body, mstate, None, length=ticks)
-        return final.dgraph, vxs, marks
+            # 3. path-blocked opinion from THIS prune plan vs THIS
+            #    observation (`path_blocked_strategy.cpp:56-101`)
+            blocked = path_blocked(cmd.prune, obs, obs_mask, 0.3)
+            state = jnp.where(
+                (cmd.state == int(PlannerState.TRAJECTORY_FOUND)) & blocked,
+                int(PlannerState.PATH_BLOCKED_WAIT), cmd.state)
+            return s2, (cmd.vx, state, jnp.sum(s2.grid))
+        final, (vxs, states, marks) = jax.lax.scan(body, mstate, None,
+                                                   length=ticks)
+        return final.dgraph, vxs, states, marks
 
     def make_args():
-        return (state0, jnp.asarray(scan_pts), jnp.asarray(scan_mask), plan,
-                jnp.asarray(obs), jnp.asarray(obs_mask))
+        return (state0, jnp.asarray(scan_pts), jnp.asarray(scan_mask), plan)
 
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
     best = min(per_tick)
@@ -244,128 +354,99 @@ def bench_config2(ticks=30, reps=4):
         "tick_ms": 1e3 * best,
         "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
         "rollouts_per_tick": s_padded,
-        "marked_voxels": int(_force(out[2])[-1]),
+        "marked_voxels": int(_force(out[3])[-1]),
+        "planner_state_last": int(_force(out[2])[-1]),
+        "obs_from_tick_scan": True,
         "under_budget": bool(1e3 * best < TICK_BUDGET_MS),
         "compile_s": round(compile_s, 1),
     }
 
 
 # ---------------------------------------------------------------------------
-# config 3: multi-level map, 8k rollouts + global replan inside every tick
+# config 3: the FULL fused vertical on the multi-level map — mark/clear →
+# composed dGraph → lethal → wavefront → path extraction → interpolation →
+# prune → 8k rollouts → critics → argmin, every stage consuming the
+# previous stage's output, in one program (control/fused.py)
 # ---------------------------------------------------------------------------
 
-def bench_config3(ticks=20, reps=4, split=True):
+def bench_config3(ticks=10, reps=4):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from dddmr_navigation_tpu.config import (
-        LocalPlannerConfig, DDSimpleGeneratorConfig, GlobalPlannerConfig,
-        NavigationConfig)
+        NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
+        PerceptionConfig, SpinningLidarConfig, GlobalPlannerConfig)
     from dddmr_navigation_tpu.geometry import quat_from_yaw
-    from dddmr_navigation_tpu.io.maps import ramp_ground_map
-    from dddmr_navigation_tpu.planning.local.planner import (
-        make_global_plan, compute_velocity_command)
-    from dddmr_navigation_tpu.planning.global_.graph import build_ground_graph
-    from dddmr_navigation_tpu.planning.global_.wavefront import (
-        node_costs, wavefront_distances_turning)
+    from dddmr_navigation_tpu.io.maps import multi_level_map
+    from dddmr_navigation_tpu.perception.static_weights import (
+        compute_node_weights)
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, init_fused_state, make_fused_tick)
+    from dddmr_navigation_tpu.utils.lidar_sim import BoxWorld, simulate_scan
 
-    cfg = LocalPlannerConfig(
-        generator=DDSimpleGeneratorConfig(
-            linear_x_sample=63, angular_z_sample=127,   # 64*128 = 8192
-            max_num_steps=40),
-        max_obstacle_points=512,
-        collision_obstacle_chunk=16, collision_near_k=128)
-    ground = ramp_ground_map()          # flat → ramp → upper floor
-    g = len(ground)
-    graph = build_ground_graph(ground, radius=0.5, k_max=16)
+    lidar = SpinningLidarConfig(
+        scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
+        max_scan_points=16000, range_image_rows=16, range_image_cols=1000)
+    cfg = NavigationConfig(
+        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=128,
+                                    voxel_window_cells_z=44),
+        local_planner=LocalPlannerConfig(
+            generator=DDSimpleGeneratorConfig(
+                linear_x_sample=63, angular_z_sample=127,   # 64*128 = 8192
+                max_num_steps=40),
+            max_obstacle_points=2048,
+            collision_obstacle_chunk=16, collision_near_k=128),
+        global_planner=GlobalPlannerConfig(max_relax_iters=320))
 
-    rng = np.random.default_rng(1)
-    obstacles = jnp.asarray(rng.uniform(
-        [1, -2, 0], [8, 2, 0.5], size=(512, 3)).astype(np.float32))
-    obs_mask = jnp.ones((512,), bool)
-    xs = np.arange(0, 8.0, 0.1, dtype=np.float32)
-    plan = make_global_plan(
-        np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1),
-        max_len=cfg.max_plan_len)
+    ground, map_pts = multi_level_map()      # STACKED floors + ramp + duct
+    weights, static_dgraph = compute_node_weights(ground, map_pts)
+    fmap = build_fused_map(cfg, ground, map_pts, node_weight=weights,
+                           static_dgraph=static_dgraph)
+
+    robot = np.array([8.5, 7.0, 0.0], np.float32)
+    goal = np.array([8.5, 7.0, 2.5], np.float32)      # cross-floor goal
+    offset = np.array([0.0, 0.0, 0.5], np.float32)
+    world = BoxWorld().add_box([7.0, 5.8, 0.0], [7.5, 6.6, 1.2])
+    scan_pts, scan_mask = simulate_scan(world, robot + offset,
+                                        n_rings=16, n_cols=1000)
+    scan_mask = scan_mask & (scan_pts[:, 2] + robot[2] + 0.5 >= 0.15)
+
     rq = jnp.asarray(np.asarray(quat_from_yaw(jnp.float32(0.0))))
-    rp = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
-    goal_idx = int(np.argmax(ground[:, 0]))
+    state0 = init_fused_state(cfg, len(ground), robot_xyz=robot)
 
-    nbr_idx = jnp.asarray(graph.nbr_idx)
-    nbr_dist = jnp.asarray(graph.nbr_dist)
-    nbr_valid = jnp.asarray(graph.nbr_valid)
-    avg_int = jnp.asarray(graph.avg_intensity)
-    positions = jnp.asarray(ground)
+    from dddmr_navigation_tpu.control.fused import fused_tick as _ft
+    _, spec, ri_spec, params = make_fused_tick(cfg)
 
-    if not split:
-        @jax.jit
-        def run(dgraph0, plan, obstacles, obs_mask):
-            def body(dgraph, _):
-                enter = node_costs(dgraph, jnp.zeros((g,)),
-                                   inscribed_radius=0.5,
-                                   inflation_descending_rate=2.0)
-                dist_gb, _bins = wavefront_distances_turning(
-                    nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
-                    positions, 0.1, n_dir_bins=16, max_iters=192)
-                cmd = compute_velocity_command(
-                    cfg, plan, rp, rq, jnp.float32(0.3), jnp.float32(0.0),
-                    obstacles, obs_mask)
-                # feed a whiff of the plan cost back so the scan can't DCE it
-                d = dgraph + 0.0 * jnp.min(dist_gb)
-                return d, (cmd.vx, jnp.min(dist_gb))
-            final, (vxs, dists) = jax.lax.scan(body, dgraph0, None,
-                                               length=ticks)
-            return final, vxs, dists
+    @jax.jit
+    def run(fmap, state, scan, smask, rp, goal):
+        def body(s, _):
+            s2, out = _ft(cfg, spec, ri_spec, params,
+                          "differential_drive_simple", fmap, s, scan, smask,
+                          rp, rq, jnp.asarray(offset), goal,
+                          jnp.float32(0.3), jnp.float32(0.0))
+            return s2, (out.vx, out.state, out.plan.count, out.plan_ok)
+        final, (vxs, states, plan_lens, oks) = jax.lax.scan(
+            body, state, None, length=ticks)
+        return final.marking.dgraph, vxs, states, plan_lens, oks
 
-        def make_args():
-            return (jnp.full((g,), 9999.0), plan, obstacles, obs_mask)
+    def make_args():
+        return (fmap, state0, jnp.asarray(scan_pts), jnp.asarray(scan_mask),
+                jnp.asarray(robot), jnp.asarray(goal))
 
-        compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
-        best = min(per_tick)
-    else:
-        # split mode: replan chain + rollout chain compiled separately
-        # (two small programs for compile-queue-constrained environments);
-        # tick time = sum of the per-phase amortized ticks
-        @jax.jit
-        def run_replan(dgraph0):
-            def body(dgraph, _):
-                enter = node_costs(dgraph, jnp.zeros((g,)),
-                                   inscribed_radius=0.5,
-                                   inflation_descending_rate=2.0)
-                dist_gb, _bins = wavefront_distances_turning(
-                    nbr_idx, nbr_dist, nbr_valid, enter, avg_int, goal_idx,
-                    positions, 0.1, n_dir_bins=16, max_iters=192)
-                return dgraph + 0.0 * jnp.min(dist_gb), jnp.min(dist_gb)
-            final, dists = jax.lax.scan(body, dgraph0, None, length=ticks)
-            return final, dists
-
-        @jax.jit
-        def run_rollout(plan, obstacles, obs_mask):
-            def body(carry, _):
-                cmd = compute_velocity_command(
-                    cfg, plan, rp, rq, carry, jnp.float32(0.0),
-                    obstacles, obs_mask)
-                return carry + 0.0 * cmd.vx, cmd.vx
-            final, vxs = jax.lax.scan(body, jnp.float32(0.3), None,
-                                      length=ticks)
-            return final, vxs
-
-        c1, t1, out1 = _time_chains(
-            run_replan, lambda: (jnp.full((g,), 9999.0),), ticks, reps)
-        c2, t2, out2 = _time_chains(
-            run_rollout, lambda: (plan, obstacles, obs_mask), ticks, reps)
-        compile_s = c1 + c2
-        per_tick = [a + b for a, b in zip(t1, t2)]
-        best = min(t1) + min(t2)
-        out = (None, out2[1], out1[1])
-    s_padded = cfg.generator.n_samples_padded
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    best = min(per_tick)
+    s_padded = cfg.local_planner.generator.n_samples_padded
     return {
         "tick_ms": 1e3 * best,
         "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
         "rollouts_per_tick": s_padded,
         "solves_per_s": 1.0 / best,      # one full replan per tick
-        "ground_nodes": g,
-        "split_programs": split,
+        "ground_nodes": len(ground),
+        "map": "multi_level (stacked floors + ramp + overhang duct)",
+        "cross_floor_plan_len": int(_force(out[3])[-1]),
+        "plan_ok": bool(_force(out[4])[-1]),
+        "vx_last": float(_force(out[1])[-1]),
+        "fused_single_program": True,
         "under_budget": bool(1e3 * best < TICK_BUDGET_MS),
         "compile_s": round(compile_s, 1),
     }
@@ -406,8 +487,7 @@ from dddmr_navigation_tpu.parallel.fleet import (
     FleetState, make_fleet_mesh, sharded_fleet_tick, shard_fleet_arrays)
 
 ndev = {ndev}
-per_dev = {per_dev}
-b = ndev * per_dev
+b = {b_total}
 cfg = LocalPlannerConfig(
     generator=DDSimpleGeneratorConfig(linear_x_sample=16, angular_z_sample=16,
                                       max_num_steps=40),
@@ -438,50 +518,140 @@ print(json.dumps({{"ndev": ndev, "robots": b, "tick_s": min(times)}}))
 """
 
 
-def bench_virtual_mesh_scaling(per_dev=8):
-    """Weak scaling on an 8-device VIRTUAL CPU mesh (the only multi-device
-    substrate available; devices share 2 physical cores, so this is a
-    lower bound and chiefly proves the sharded program + collectives).
-    Efficiency = t(1 dev, N robots) / t(8 dev, 8N robots); ideal 1.0."""
+def _run_scaling_child(ndev, b_total):
+    script = _SCALING_CHILD.format(ndev=ndev, b_total=b_total)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=900, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+        else "{}"
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": proc.stderr[-500:]}
+
+
+def bench_virtual_mesh_scaling(b_total=64):
+    """EQUAL-WORK sharding efficiency on virtual CPU meshes:
+    ``t(1 device, B robots) / t(N devices, B robots sharded)``.
+
+    On this 2-core box, a weak-scaling run (fixed per-device robots) is
+    unfalsifiable: one CPU 'device' already uses every core through XLA's
+    intra-op threading, so adding virtual devices adds work without adding
+    hardware (the round-2 review's ceiling complaint). Holding TOTAL work
+    fixed cancels the core count: both sides use the same silicon, so any
+    drop below 1.0 is the cost of the sharded program itself — partition
+    overhead + the psum collectives. That is exactly the quantity the
+    ≥80% BASELINE row constrains, with a genuine 1.0 ceiling."""
     results = {}
-    for ndev in (1, 8):
-        script = _SCALING_CHILD.format(ndev=ndev, per_dev=per_dev)
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        proc = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
-            else "{}"
-        try:
-            results[ndev] = json.loads(line)
-        except json.JSONDecodeError:
-            return {"error": proc.stderr[-500:]}
+    for ndev in (1, 2, 8):
+        results[ndev] = _run_scaling_child(ndev, b_total)
+        if "error" in results[ndev]:
+            return results[ndev]
     t1 = results[1]["tick_s"]
+    t2 = results[2]["tick_s"]
     t8 = results[8]["tick_s"]
     cores = os.cpu_count() or 1
     return {
-        "substrate": f"virtual-8-device CPU mesh ({cores} physical cores)",
-        "per_device_robots": per_dev,
+        "substrate": f"virtual CPU mesh ({cores} physical cores)",
+        "metric": "equal-work sharding efficiency, ceiling 1.0",
+        "total_robots": b_total,
         "tick_s_1dev": round(t1, 4),
+        "tick_s_2dev": round(t2, 4),
         "tick_s_8dev": round(t8, 4),
-        "weak_scaling_efficiency": round(t1 / t8, 3),
-        # 8 virtual devices share the physical cores: even perfect sharding
-        # cannot exceed cores/8 on this box — the ceiling for this proxy
-        "physical_core_ceiling": round(min(cores / 8.0, 1.0), 3),
+        "sharding_efficiency_2dev": round(t1 / t2, 3),
+        "sharding_efficiency_8dev": round(t1 / t8, 3),
+        "target": 0.8,
     }
+
+
+_CONFIG5_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import numpy as np
+import jax.numpy as jnp
+from dddmr_navigation_tpu.config import (LocalPlannerConfig,
+    DDSimpleGeneratorConfig)
+from dddmr_navigation_tpu.geometry import quat_from_yaw
+from dddmr_navigation_tpu.planning.local.planner import make_global_plan
+from dddmr_navigation_tpu.parallel.fleet import FleetState
+from dddmr_navigation_tpu.parallel.multihost import (
+    make_host_mesh, sharded_fleet_tick_multihost, host_local_batch)
+
+# BASELINE config 5 SHAPE: 4096 scenarios on the hierarchical
+# (dcn=2 hosts x ici=4 chips) mesh; tiny per-scenario shapes so the
+# 2-core box can execute the full-scale batch
+b = 4096
+cfg = LocalPlannerConfig(
+    generator=DDSimpleGeneratorConfig(linear_x_sample=4, angular_z_sample=4,
+                                      max_num_steps=16),
+    max_plan_len=64, max_prune_len=16, max_obstacle_points=32,
+    collision_obstacle_chunk=16, collision_near_k=16)
+xs = np.arange(0, 3.0, 0.1, dtype=np.float32)
+one_plan = make_global_plan(np.stack([xs, np.zeros_like(xs),
+                                      np.zeros_like(xs)], 1), max_len=64)
+plans = jax.tree_util.tree_map(
+    lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), one_plan)
+rng = np.random.default_rng(0)
+obstacles = jnp.asarray(rng.uniform([1,-2,0],[3,2,0.5],
+                                    size=(b,32,3)).astype(np.float32))
+obs_valid = jnp.ones((b,32), bool)
+state = FleetState(pos=jnp.zeros((b,3)),
+                   quat=jnp.broadcast_to(quat_from_yaw(jnp.float32(0.0)),(b,4)),
+                   v=jnp.zeros((b,)), w=jnp.zeros((b,)))
+mesh = make_host_mesh(n_hosts=2, devices_per_host=4)
+tick = sharded_fleet_tick_multihost(cfg, mesh)
+args = host_local_batch(mesh, (plans, state, obstacles, obs_valid))
+t0 = time.perf_counter()
+out = tick(*args)
+fleet = float(np.asarray(out[4]))
+compile_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+out = tick(*args)
+fleet = float(np.asarray(out[4]))
+run_s = time.perf_counter() - t0
+found = int(np.sum(np.asarray(out[3]) >= 0))
+print(json.dumps({"scenarios": b, "mesh": "dcn=2 x ici=4",
+                  "fleet_cost": round(fleet, 4), "found": found,
+                  "tick_s": round(run_s, 4),
+                  "compile_s": round(compile_s, 1), "ok": found > 0}))
+"""
+
+
+def bench_config5_dryrun():
+    """BASELINE config 5 at full scenario count (4096) on the hierarchical
+    dcn×ici virtual mesh — executes the real multi-host program
+    (`parallel/multihost.py` shard_map + hierarchical psum) at tiny
+    per-scenario shapes."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", _CONFIG5_CHILD], capture_output=True,
+        text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+        else "{}"
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": proc.stderr[-500:]}
 
 
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["config2", "config3", "scaling", "batch"])
-    ap.add_argument("--only", default=None,
-                    choices=["headline", "config2", "config3", "scaling",
-                             "batch"],
+    phases = ["config2", "config3", "scaling", "batch", "config5",
+              "backends"]
+    ap.add_argument("--skip", nargs="*", default=[], choices=phases)
+    ap.add_argument("--only", default=None, choices=["headline"] + phases,
                     help="run a single phase (cache-warming / debugging)")
     ap.add_argument("--ticks", type=int, default=50)
     ap.add_argument("--reps", type=int, default=6)
@@ -489,8 +659,7 @@ def main():
                     choices=["xla", "auto", "pallas", "pallas_interpret"])
     args = ap.parse_args()
     if args.only is not None:
-        skip_all = {"config2", "config3", "scaling", "batch"}
-        args.skip = list(skip_all - {args.only})
+        args.skip = list(set(phases) - {args.only})
 
     jax = _setup_jax()
     dev = jax.devices()[0]
@@ -498,7 +667,8 @@ def main():
 
     if args.only in (None, "headline", "batch"):
         head = bench_headline(ticks=args.ticks, reps=args.reps,
-                              collision_backend=args.collision_backend)
+                              collision_backend=args.collision_backend,
+                              analyze=True)
         print(f"headline: {head['rollouts_per_s']:,.0f} rollouts/s "
               f"tick={head['tick_ms']:.2f}ms compile={head['compile_s']}s",
               file=sys.stderr)
@@ -507,10 +677,13 @@ def main():
                 "rollouts_per_tick": 0, "robots": 0, "compile_s": 0.0}
 
     extras = {}
-    for name, fn in (("config2", bench_config2), ("config3", bench_config3),
-                     ("batch_scaling", bench_batch_scaling),
-                     ("scaling", bench_virtual_mesh_scaling)):
-        key = "batch" if name == "batch_scaling" else name
+    for name, key, fn in (
+            ("config2", "config2", bench_config2),
+            ("config3", "config3", bench_config3),
+            ("batch_scaling", "batch", bench_batch_scaling),
+            ("scaling", "scaling", bench_virtual_mesh_scaling),
+            ("config5_dryrun", "config5", bench_config5_dryrun),
+            ("collision_backends", "backends", bench_collision_backends)):
         if key in args.skip:
             continue
         try:
@@ -537,6 +710,7 @@ def main():
         "tick_under_budget": bool(head["tick_ms"] < TICK_BUDGET_MS),
         "compile_s": head["compile_s"],
         "device": f"{dev.platform}:{dev.device_kind}",
+        "roofline": head.get("roofline"),
         **extras,
     }
     print(json.dumps(out))

@@ -149,6 +149,7 @@ def test_dwa_pivot_shifts_past_blocked_goal():
 # long-edge line-of-sight vs aggregated lethal
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_long_edge_los_blocks_tunneling():
     """A sparse node chain whose every edge comes from the kNN orphan
     fallback (spacing 1.1 m > a_star_expanding_radius) — exactly the jump

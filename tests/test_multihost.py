@@ -58,6 +58,7 @@ def test_sharded_fleet_tick_8_devices():
     np.testing.assert_allclose(float(fleet_cost), c[ok].mean(), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_multihost_mesh_matches_single_axis():
     """The (2 hosts × 4 chips) hierarchical reduction must agree with the
     flat 8-chip mesh and with an unsharded vmap run."""

@@ -93,6 +93,7 @@ def test_global_field_parity_with_dynamic_obstacle(ctx):
     assert r["max_abs_diff"] < 1e-3
 
 
+@pytest.mark.slow
 def test_plan_and_cmdvel_parity_real_map(ctx):
     """Full vertical on real assets: plan on the real map, then tick the
     local planner along the real path with real map-cloud obstacles,
@@ -198,6 +199,7 @@ def test_mcl_tracks_on_real_reference_map(ctx):
     assert np.mean(errs[-3:]) < 0.6, errs
 
 
+@pytest.mark.slow
 def test_perception_marks_real_map_structure(ctx):
     """Perception vertical on the REAL assets: a lidar sweep ray-cast
     against map.pcd marks the surrounding structure into the dynamic

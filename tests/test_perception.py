@@ -226,6 +226,7 @@ def test_scan_stitcher():
     assert op.shape == (16, 3)
 
 
+@pytest.mark.slow
 def test_perception_update_vmaps_over_robots(map_ctx):
     """The mark/clear engine is a pure pytree function, so a fleet's
     perception updates batch with one vmap (SURVEY §2.12 scenario-DP):

@@ -3,6 +3,7 @@ voxel engine: depth-camera frustum layer, static-layer node weights,
 semantic segmentation, occupancy→cloud conversion."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from dddmr_navigation_tpu.perception.depth_camera import (
@@ -66,6 +67,7 @@ def _obs_single(cam_pos, cam_quat, pts):
         points=p, mask=m)
 
 
+@pytest.mark.slow
 def test_depth_camera_mark_and_clear():
     spec = VoxelSpec(nx=32, ny=32, nz=16, xy_resolution=0.1,
                      height_resolution=0.1)
@@ -123,6 +125,7 @@ def test_static_weights_overhang_lethal():
     assert sd[far] > 100
 
 
+@pytest.mark.slow
 def test_semantic_segmentation_shapes():
     from dddmr_navigation_tpu.perception.semantic import (
         init_segmenter, infer_classes, segmentation_to_pointcloud)
@@ -204,6 +207,7 @@ def test_depth_buffer_ring_overwrites_oldest():
     assert live[0].all() and not live[1].any()
 
 
+@pytest.mark.slow
 def test_older_frustum_still_clears_until_expiry():
     """The buffered-observation semantics the single-latest design loses:
     the camera sees free space, then looks away — the marked voxels inside
@@ -241,6 +245,7 @@ def test_older_frustum_still_clears_until_expiry():
     assert int(jnp.sum(g_dead)) == n0
 
 
+@pytest.mark.slow
 def test_multi_camera_buffer_clears_cross_camera():
     """Two cameras: camera B's observation clears voxels camera A marked
     (the reference's cross-sensor clearing motivation,
@@ -263,6 +268,7 @@ def test_multi_camera_buffer_clears_cross_camera():
     assert int(jnp.sum(g)) < 0.2 * n0
 
 
+@pytest.mark.slow
 def test_semantic_training_and_checkpoint(tmp_path):
     """Weights story (VERDICT r1 item 59): the segmenter trains (loss
     decreases on a synthetic separable task) and round-trips through the

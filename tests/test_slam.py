@@ -84,6 +84,7 @@ def _features_at(pos, yaw=0.0):
     return extract_features(CFG, img)
 
 
+@pytest.mark.slow
 def test_scan_matching_recovers_motion():
     f0 = _features_at([0.0, 0.0, 0.8], 0.0)
     true_dx, true_dyaw = 0.4, 0.12

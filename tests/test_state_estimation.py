@@ -152,6 +152,7 @@ def world_ctx():
     return map_pts, ground_pts, ctx
 
 
+@pytest.mark.slow
 def test_likelihood_prefers_true_pose(world_ctx):
     map_pts, ground_pts, ctx = world_ctx
     true_pos = np.array([0.0, 0.0, 0.0], np.float32)
