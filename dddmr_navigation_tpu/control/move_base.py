@@ -234,6 +234,9 @@ class MoveBaseDriver:
                 cmd_simple.prune, obstacles, obs_valid,
                 self.cfg.perception.path_blocked_check_radius)):
             ps_simple = int(PlannerState.PATH_BLOCKED_WAIT)
+        # observability hooks (viewer/debug): last tick's command + state
+        self.last_cmd = cmd_simple
+        self.last_planner_state = ps_simple
 
         x = FSMInputs(
             now=jnp.asarray(now, jnp.float32), robot_pos=robot_pos,

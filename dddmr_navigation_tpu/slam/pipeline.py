@@ -253,6 +253,53 @@ class MappingSession:
         self._rebuild_submap()
         return True
 
+    def manual_loop(self, i: int, j: int, max_corr: float = 2.0,
+                    fitness_gate: float | None = None):
+        """Interactive IN-MAPPING pose-graph edit: run ICP between two
+        chosen keyframes, add the verified loop edge, and batch
+        re-optimize — the reference's interactive editor triggers exactly
+        this between rviz-selected keyframes during mapping
+        (`interactive_pose_graph_editor.cpp:1-432`; the offline analogue
+        lives in `slam/editor.py`).
+
+        Args:
+          i: anchor (earlier) keyframe index.
+          j: keyframe to close against (``i < j < n_keyframes``).
+          fitness_gate: accept threshold; defaults to the config's
+            ``history_keyframe_fitness_score``.
+        Returns (accepted, fitness)."""
+        assert 0 <= i < j < self.n_keyframes, (i, j, self.n_keyframes)
+        gate = (self.cfg.history_keyframe_fitness_score
+                if fitness_gate is None else fitness_gate)
+        cf = self.keyframe_feats[j]
+        hf = self.keyframe_feats[i]
+        pp, pq = self._kf_pose(i)
+        jp, jq = self._kf_pose(j)
+        init_p, init_q = self._rel(pp, pq, jp, jq)
+        pos, quat, fitness = icp_point2point(
+            jnp.asarray(np.concatenate([cf.less_flat, cf.less_sharp])),
+            jnp.asarray(np.concatenate([cf.less_flat_mask,
+                                        cf.less_sharp_mask])),
+            jnp.asarray(np.concatenate([hf.less_flat, hf.less_sharp])),
+            jnp.asarray(np.concatenate([hf.less_flat_mask,
+                                        hf.less_sharp_mask])),
+            self.cfg.icp_iters, max_corr, jnp.asarray(init_p),
+            jnp.asarray(init_q))
+        if float(fitness) > gate:
+            return False, float(fitness)
+        w = 1.0 / max(float(fitness), 1e-3)
+        self.graph = pg.add_edge(self.graph, self.n_edges, i, j,
+                                 pos, quat, weight=min(w, 100.0))
+        self.n_edges += 1
+        self.loop_closures.append((i, j, float(fitness)))
+        self.graph = pg.optimize_pose_graph(self.graph,
+                                            self.cfg.pose_graph_iters)
+        # correctPoses semantics: the live pose follows the latest
+        # corrected keyframe and the submap is rebuilt
+        self.cur_pos, self.cur_quat = self._kf_pose(self.n_keyframes - 1)
+        self._rebuild_submap()
+        return True, float(fitness)
+
     # -- artifacts ----------------------------------------------------------
     def save(self, out_dir: str):
         """Write the reference pose-graph directory format."""

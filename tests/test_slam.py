@@ -265,3 +265,32 @@ def test_icp_playground_on_real_feature_pcd():
     err = np.linalg.norm(back - pts, axis=1)
     assert float(np.median(err)) < 0.1, float(np.median(err))
     assert float(fitness) < 0.2
+
+
+@pytest.mark.slow
+def test_manual_loop_in_mapping():
+    """Interactive in-mapping pose-graph edit: manual_loop(i, j) must add
+    a verified ICP edge between chosen keyframes and re-optimize, pulling
+    drifted poses together (`interactive_pose_graph_editor.cpp:1-432`)."""
+    sess = MappingSession(cfg=CFG)
+    pos = np.array([-3.0, -3.0, 0.8], np.float32)
+    yaw = 0.0
+    for t in range(8):
+        pts, mask = simulate_scan(WORLD, pos, yaw, n_rings=16, n_cols=250)
+        sess.process_scan(pts, mask)
+        pos = pos + np.array([0.45 * np.cos(yaw), 0.45 * np.sin(yaw), 0.0],
+                             np.float32)
+        yaw += 0.06
+    assert sess.n_keyframes >= 3
+    edges_before = sess.n_edges
+    loops_before = len(sess.loop_closures)
+    accepted, fitness = sess.manual_loop(0, sess.n_keyframes - 1)
+    assert accepted, f"manual loop rejected, fitness={fitness}"
+    assert sess.n_edges == edges_before + 1
+    assert len(sess.loop_closures) == loops_before + 1
+    assert np.isfinite(fitness)
+    # absurd pairing with a strict gate is rejected and adds nothing
+    accepted2, _ = sess.manual_loop(0, sess.n_keyframes - 1,
+                                    fitness_gate=-1.0)
+    assert not accepted2
+    assert sess.n_edges == edges_before + 1
