@@ -5,15 +5,18 @@ Default run measures, on the real chip:
     throughput — rollouts/s vs the reference's ~500 rollouts/s/process;
   * config 2: ramp map, 4 s horizon, ~2k rollouts, with the FULL 3D
     mark/clear perception update fused into every control tick;
-  * config 3: multi-level map, ~8k rollouts with a global replan
-    (turning-aware wavefront) every tick — compiled as two chained
-    programs by default (the fused single program exceeds this tunnel's
-    remote-compile budget; tick time is the sum of the phases);
-  * batch-scaling efficiency on the chip (B=8 → B=64);
-and, in a CPU subprocess (multi-chip hardware is not available here):
-  * weak-scaling efficiency of the sharded fleet tick over an 8-device
-    virtual mesh (correctness-level proxy for ICI scaling; the virtual
-    devices share 2 physical cores, so this is a lower bound).
+  * config 3: the COMPLETE fused vertical (control/fused.py) on the
+    multi-level map — mark/clear → composed dGraph → lethal → wavefront
+    → path extraction → interpolation → 8k rollouts → critics — one
+    program, every stage consuming the previous stage's output;
+  * batch-scaling efficiency on the chip (B=8 → B=64) and the xla-vs-
+    pallas collision backend comparison, with a roofline position
+    (ROOFLINE.md) from the analytic FLOP model + XLA cost analysis;
+and, in CPU subprocesses (multi-chip hardware is not available here):
+  * EQUAL-WORK sharding efficiency (1 vs 2 vs 8 virtual devices at the
+    same total robot count — genuine 1.0 ceiling, see
+    bench_virtual_mesh_scaling) and the 4096-scenario config-5 dryrun on
+    the hierarchical dcn×ici mesh.
 
 Measurement notes (axon TPU tunnel):
   * `block_until_ready` does not reliably block on the experimental axon
@@ -369,7 +372,7 @@ def bench_config2(ticks=30, reps=4):
 # previous stage's output, in one program (control/fused.py)
 # ---------------------------------------------------------------------------
 
-def bench_config3(ticks=10, reps=4):
+def bench_config3(ticks=20, reps=4):
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -27,6 +27,12 @@ def label_components(occ, tol_cells: int = 2, num_iters: int = 24):
         resolution (PCL tolerance 0.1 m at 0.05 m cells → 2).
       num_iters: propagation sweeps; labels converge once num_iters ≥
         max cluster diameter / tol_cells. Fixed for jit-friendliness.
+        SIZE THIS to the largest plausible cluster at the deployment grid
+        (advisor r2): under-converged clusters split, and a split
+        fragment can pass the centroid accept tests its merged whole
+        would fail (e.g. a surrounding ring whose true centroid is
+        FOV-rejected) — the failure mode is under- vs over-marking.
+        tests/test_parity_reference_map.py's trap phase exercises it.
 
     Returns:
       (X, Y, Z) int32 labels; -1 where unoccupied. Labels are arbitrary
@@ -91,9 +97,12 @@ def cluster_table(labels, occ, cell_pos, max_clusters: int):
                        fill_value=jnp.iinfo(jnp.int32).max)[0].astype(jnp.int32)
     valid_cluster = uniq != jnp.iinfo(jnp.int32).max
 
-    idx = jnp.searchsorted(uniq, flat_labels)
-    idx = jnp.clip(idx, 0, max_clusters - 1)
-    matched = flat_occ & (uniq[idx] == flat_labels)
+    # Direct one-hot match instead of searchsorted: the (N, K) compare is
+    # three streaming passes over ~46 MB, while searchsorted's binary-
+    # search while_loop serializes ~7 gather rounds over the window.
+    eq = flat_labels[:, None] == uniq[None, :]          # (N, K)
+    matched = flat_occ & jnp.any(eq, axis=1)
+    idx = jnp.argmax(eq, axis=1).astype(jnp.int32)
     idx = jnp.where(matched, idx, max_clusters)  # overflow bucket
 
     # Segment sum as a chunked one-hot matmul: a window-sized scatter-add

@@ -142,8 +142,11 @@ def clear_marked(spec: VoxelSpec, ri_spec: RangeImageSpec,
     of TPU gather/transcendental time per tick (measured), vs ~1 ms for
     the extracted set. The 3×3-bin neighborhood lookup is folded into one
     min-pool of the (rows, cols) range image (identical result). Cells
-    beyond the extraction cap stay marked for a tick (the same
-    conservative cap `update_dgraph` documents).
+    beyond the extraction cap are not clear-tested; because the extraction
+    order is deterministic (linear index), they stay marked until
+    earlier-indexed marks clear and they enter the window — a conservative
+    (never wrongly clears) overflow mode; size ``max_marked_voxels`` so
+    live scenes stay under the cap.
     """
     n_valid = jnp.sum(scan_mask)
     img = build_range_image(ri_spec, sensor_pos, sensor_quat, scan_pts, scan_mask)

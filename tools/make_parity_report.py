@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--ticks", type=int, default=10)
     ap.add_argument("--obstacles", type=int, default=64)
+    ap.add_argument("--dynamic-phase-len", type=int, default=35,
+                    help="ticks per toggling-wall phase (0 = skip)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,15 @@ def main():
             "max_d_cost": float(d_cost.max()),
         },
     }
+    if args.dynamic_phase_len > 0:
+        dyn = pr.dynamic_wall_parity(ctx, phase_len=args.dynamic_phase_len)
+        dyn.pop("rows")
+        report["dynamic_scene_parity"] = {
+            "description": ("toggling-wall + forced-recovery sequence on "
+                            "the real map: per-phase max deltas vs the "
+                            "C++-math marking/local-planner/FSM oracles"),
+            **dyn,
+        }
     out = f"PARITY_r{args.round:02d}.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
