@@ -100,39 +100,27 @@ def cluster_table(labels, occ, cell_pos, max_clusters: int):
     # Direct one-hot match instead of searchsorted: the (N, K) compare is
     # three streaming passes over ~46 MB, while searchsorted's binary-
     # search while_loop serializes ~7 gather rounds over the window.
-    eq = flat_labels[:, None] == uniq[None, :]          # (N, K)
-    matched = flat_occ & jnp.any(eq, axis=1)
+    eq = (flat_labels[:, None] == uniq[None, :]) & flat_occ[:, None]  # (N, K)
+    matched = jnp.any(eq, axis=1)
     idx = jnp.argmax(eq, axis=1).astype(jnp.int32)
     idx = jnp.where(matched, idx, max_clusters)  # overflow bucket
 
-    # Segment sum as a chunked one-hot matmul: a window-sized scatter-add
-    # serializes on TPU (~20 ms at 128x128x44), while (chunk, K+1)x(chunk, 4)
-    # contractions ride the MXU (<1 ms). HIGHEST keeps the one-hot/position
-    # products exact f32 (centroids feed the 0.05 m ground-attach gate).
-    n = flat_labels.shape[0]
-    k1 = max_clusters + 1
+    # Segment sum as ONE one-hot matmul: a window-sized scatter-add
+    # serializes on TPU (~20 ms at 128x128x44), while the (K, N)x(N, 4)
+    # contraction rides the MXU. The match matrix IS the one-hot (0/1
+    # exact in any dtype); HIGHEST keeps the position products exact f32
+    # (centroids feed the 0.05 m ground-attach gate).
     vals = jnp.concatenate([
         jnp.where(matched[:, None], flat_pos, 0.0),
         flat_occ[:, None].astype(jnp.float32)], axis=1)          # (N, 4)
-    chunk = min(65536, n)
-    pad = (-n) % chunk
-    idx_c = jnp.pad(idx, (0, pad),
-                    constant_values=max_clusters).reshape(-1, chunk)
-    vals_c = jnp.pad(vals, ((0, pad), (0, 0))).reshape(-1, chunk, 4)
-
-    def body(acc, args):
-        ic, vc = args
-        oh = (ic[:, None] == jnp.arange(k1)[None, :]).astype(jnp.float32)
-        part = jax.lax.dot_general(
-            oh, vc, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                  # (K+1, 4)
-        return acc + part, None
-
-    acc, _ = jax.lax.scan(body, jnp.zeros((k1, 4), jnp.float32),
-                          (idx_c, vals_c))
-    sizes = acc[:max_clusters, 3].astype(jnp.int32) * valid_cluster
-    centroids = acc[:max_clusters, :3] / jnp.maximum(sizes, 1)[:, None]
+    acc = jax.lax.dot_general(
+        eq.astype(jnp.float32), vals, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                      # (K, 4)
+    # overflow/unmatched occupancy is excluded from eq by construction;
+    # per-cluster counts come from the same contraction's last column
+    sizes = acc[:, 3].astype(jnp.int32) * valid_cluster
+    centroids = acc[:, :3] / jnp.maximum(sizes, 1)[:, None]
 
     cell_cluster_idx = jnp.where(matched, idx, -1).reshape(labels.shape)
     return centroids, sizes, cell_cluster_idx
