@@ -390,8 +390,11 @@ def bench_config3(ticks=20, reps=4):
     lidar = SpinningLidarConfig(
         scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
         max_scan_points=16000, range_image_rows=16, range_image_cols=1000)
+    # 96-cell (4.8 m) marking window: the reference's default
+    # perception_window_size is 2.0 m — 4.8 m is still generous and keeps
+    # the window-proportional mark/clear work honest for a 10 Hz tick
     cfg = NavigationConfig(
-        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=128,
+        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=96,
                                     voxel_window_cells_z=44),
         local_planner=LocalPlannerConfig(
             generator=DDSimpleGeneratorConfig(
