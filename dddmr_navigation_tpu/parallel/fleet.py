@@ -112,3 +112,63 @@ def shard_fleet_arrays(mesh: Mesh, tree, axis: str = "scenarios"):
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
+
+
+# ---------------------------------------------------------------------------
+# Fused-vertical fleet: the ENTIRE perception→replan→rollout loop
+# (control/fused.py) vmapped over robots and sharded over the mesh
+# ---------------------------------------------------------------------------
+
+def fused_fleet_tick(nav_cfg, spec, ri_spec, params, fmap, states,
+                     scans, scan_masks, positions, quats, sensor_offset,
+                     goals, v_now, w_now):
+    """One full-vertical tick for a fleet: each robot runs its own
+    mark/clear → composed dGraph → wavefront replan → path extraction →
+    interpolation → rollouts → critics chain over the SHARED map
+    (`fmap` broadcasts; per-robot state/scan/goal batch on axis 0).
+
+    Scenario-DP over the whole vertical — the reference runs one ROS
+    process tree per robot; here the full stack is one vmapped program.
+
+    Returns (new_states, vx (B,), wz (B,), state_codes (B,),
+    plan_ok (B,)).
+    """
+    from dddmr_navigation_tpu.control.fused import fused_tick
+
+    def one(state, scan, smask, pos, quat, goal, v, w):
+        s2, out = fused_tick(nav_cfg, spec, ri_spec, params,
+                             "differential_drive_simple", fmap, state,
+                             scan, smask, pos, quat, sensor_offset, goal,
+                             v, w)
+        return s2, out.vx, out.wz, out.state, out.plan_ok
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+        states, scans, scan_masks, positions, quats, goals, v_now, w_now)
+
+
+def sharded_fused_fleet_tick(nav_cfg, spec, ri_spec, params, mesh: Mesh,
+                             axis: str = "scenarios"):
+    """Jitted fused-vertical fleet tick with robots sharded over the mesh
+    and the map replicated; the fleet-health psum rides the mesh axis
+    like `sharded_fleet_tick`."""
+    from jax import shard_map
+
+    def tick(fmap, states, scans, scan_masks, positions, quats,
+             sensor_offset, goals, v_now, w_now):
+        s2, vx, wz, codes, ok = fused_fleet_tick(
+            nav_cfg, spec, ri_spec, params, fmap, states, scans,
+            scan_masks, positions, quats, sensor_offset, goals, v_now,
+            w_now)
+        found = jnp.sum((codes == 4).astype(jnp.float32))
+        total = jax.lax.psum(found, axis)
+        return s2, vx, wz, codes, ok, total
+
+    spec_b = P(axis)
+    rep = P()
+    sharded = shard_map(
+        tick, mesh=mesh,
+        in_specs=(rep, spec_b, spec_b, spec_b, spec_b, spec_b, rep, spec_b,
+                  spec_b, spec_b),
+        out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, rep),
+        check_vma=False)
+    return jax.jit(sharded)

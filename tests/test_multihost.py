@@ -91,3 +91,80 @@ def test_initialize_distributed_noop_single_process(monkeypatch):
     # explicit single-process: still a no-op
     assert initialize_distributed(coordinator_address="127.0.0.1:1234",
                                   num_processes=1) is False
+
+
+@pytest.mark.slow
+def test_sharded_fused_vertical_fleet_8_devices():
+    """The ENTIRE vertical (mark/clear → replan → rollouts) vmapped over
+    8 robots and sharded over the 8-device mesh: every robot must mark
+    its own scan, extract its own plan from the shared map, and produce
+    a command; the fleet-health psum rides the mesh axis."""
+    import dataclasses
+    from dddmr_navigation_tpu.config import (
+        NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
+        PerceptionConfig, SpinningLidarConfig)
+    from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, init_fused_state, make_fused_tick)
+    from dddmr_navigation_tpu.parallel.fleet import (
+        make_fleet_mesh, sharded_fused_fleet_tick, shard_fleet_arrays)
+
+    lidar = SpinningLidarConfig(
+        scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
+        max_scan_points=512)
+    cfg = NavigationConfig(
+        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=32,
+                                    voxel_window_cells_z=24,
+                                    max_marked_voxels=128),
+        local_planner=LocalPlannerConfig(
+            generator=DDSimpleGeneratorConfig(
+                linear_x_sample=3, angular_z_sample=4, max_num_steps=12),
+            max_obstacle_points=128, collision_obstacle_chunk=16,
+            collision_near_k=32))
+    ground = flat_ground_map(8, 5, 0.25)
+    fmap = build_fused_map(cfg, ground)
+    _, spec, ri_spec, params = make_fused_tick(cfg)
+
+    b = 8
+    n_pad = cfg.perception.lidar.max_scan_points
+    rngs = np.random.default_rng(0)
+    scans = np.zeros((b, n_pad, 3), np.float32)
+    masks = np.zeros((b, n_pad), bool)
+    for i in range(b):
+        # a small post 0.6 m ahead of THIS robot (inside its 1.6 m window)
+        # tall post so the cluster centroid sits inside the ±15° vertical
+        # FOV at 0.8 m range
+        box = box_obstacle([-3.0 + 0.6, 0.3 * (i - 4) + 0.55, 0.0],
+                           size=(0.2, 0.2, 1.0), resolution=0.1)
+        rel = box - np.array([-3.0, 0.3 * (i - 4), 0.3], np.float32)
+        scans[i, :len(rel)] = rel[:n_pad]
+        masks[i, :min(len(rel), n_pad)] = True
+    positions = np.stack([np.full(b, -3.0), 0.3 * (np.arange(b) - 4),
+                          np.zeros(b)], 1).astype(np.float32)
+    quats = np.broadcast_to(
+        np.asarray(quat_from_yaw(jnp.float32(0.0))), (b, 4))
+    goals = np.stack([np.full(b, 3.0), 0.3 * (np.arange(b) - 4),
+                      np.zeros(b)], 1).astype(np.float32)
+
+    states = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[init_fused_state(cfg, len(ground), robot_xyz=positions[i])
+          for i in range(b)])
+    mesh = make_fleet_mesh(8)
+    tick = sharded_fused_fleet_tick(cfg, spec, ri_spec, params, mesh)
+    states_s, scans_s, masks_s, pos_s, quat_s, goal_s, v_s, w_s = \
+        shard_fleet_arrays(mesh, (states, jnp.asarray(scans),
+                                  jnp.asarray(masks), jnp.asarray(positions),
+                                  jnp.asarray(quats), jnp.asarray(goals),
+                                  jnp.full((b,), 0.2), jnp.zeros((b,))))
+    s2, vx, wz, codes, ok, found = tick(
+        fmap, states_s, scans_s, masks_s, pos_s, quat_s,
+        jnp.asarray([0.0, 0.0, 0.3]), goal_s, v_s, w_s)
+    assert vx.shape == (b,)
+    assert bool(np.all(np.asarray(ok))), "some robot failed to plan"
+    assert float(found) == b, f"fleet health psum: {float(found)}"
+    # each robot marked ITS OWN scan: dgraph minima differ per robot
+    dg = np.asarray(s2.marking.dgraph)
+    assert (dg.min(axis=1) < 2.0).all()
+    assert np.asarray(vx).min() > 0.0, "fleet did not move"
