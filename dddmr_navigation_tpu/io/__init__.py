@@ -3,6 +3,7 @@ from dddmr_navigation_tpu.io.maps import (
     flat_ground_map,
     ramp_ground_map,
     corridor_map,
+    multi_level_map,
     voxel_downsample,
 )
 from dddmr_navigation_tpu.io.occupancy import (

@@ -1,5 +1,6 @@
 from dddmr_navigation_tpu.parallel.fleet import (
-    fleet_tick, make_fleet_mesh, sharded_fleet_tick, FleetState)
+    fleet_tick, make_fleet_mesh, sharded_fleet_tick, FleetState,
+    fused_fleet_tick, sharded_fused_fleet_tick)
 from dddmr_navigation_tpu.parallel.multihost import (
     initialize_distributed, make_host_mesh, scenario_sharding,
     sharded_fleet_tick_multihost, host_local_batch)
