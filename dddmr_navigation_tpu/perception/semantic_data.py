@@ -151,3 +151,72 @@ def camera_to_world(cam_pts: np.ndarray, origin, pitch: float):
                   [-1.0, 0.0, 0.0],
                   [0.0, -cp, sp]], np.float32)
     return cam_pts @ R.T + np.asarray(origin, np.float32)
+
+
+def perspective_matrix(pts_src, pts_dst):
+    """4-point homography (the reference's
+    `cv2.getPerspectiveTransform`, `scripts/perspective_transform.py:52`)
+    via the direct linear transform — no OpenCV. Returns (3, 3)."""
+    pts_src = np.asarray(pts_src, np.float64)
+    pts_dst = np.asarray(pts_dst, np.float64)
+    A = []
+    for (x, y), (u, v) in zip(pts_src, pts_dst):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+    b = pts_dst.reshape(-1)
+    h = np.linalg.solve(np.asarray(A), b)
+    return np.append(h, 1.0).reshape(3, 3).astype(np.float32)
+
+
+def warp_nearest(img, M, out_h, out_w):
+    """Inverse-map warp with nearest sampling (`cv2.warpPerspective`
+    semantics for label masks). ``M`` maps src pixel → dst pixel."""
+    Minv = np.linalg.inv(np.asarray(M, np.float64))
+    u, v = np.meshgrid(np.arange(out_w), np.arange(out_h))
+    ones = np.ones_like(u)
+    src = np.einsum("ij,jhw->ihw", Minv,
+                    np.stack([u, v, ones]).astype(np.float64))
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+    xi = np.round(sx).astype(np.int64)
+    yi = np.round(sy).astype(np.int64)
+    ok = (xi >= 0) & (xi < img.shape[1]) & (yi >= 0) & (yi < img.shape[0])
+    out = np.zeros((out_h, out_w), img.dtype)
+    out[ok] = img[yi[ok], xi[ok]]
+    return out, ok
+
+
+def bev_class_grid(class_mask, cam: CameraIntrinsics, cam_height: float,
+                   pitch: float, x_range=(0.5, 8.0), y_range=(-4.0, 4.0),
+                   resolution: float = 0.1):
+    """Depth-FREE bird's-eye-view class grid: project each metric ground
+    cell (z = 0 plane) into the image through the known camera model and
+    sample the class mask — the calibrated ground-plane homography the
+    reference's `perspective_transform.py` builds from hand-picked
+    points, derived analytically from intrinsics + (height, pitch).
+
+    Returns (labels (Ny, Nx) int32 [-1 = out of view], xs (Nx,), ys (Ny,))
+    — e.g. cells of the forbidden class become no-entry zone points
+    without a depth image.
+    """
+    xs = np.arange(x_range[0], x_range[1] + 1e-9, resolution)
+    ys = np.arange(y_range[0], y_range[1] + 1e-9, resolution)
+    gx, gy = np.meshgrid(xs, ys)
+    world = np.stack([gx, gy, np.zeros_like(gx)], -1)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    # inverse of camera_to_world's rotation (columns were the cam basis)
+    R = np.array([[0.0, sp, cp],
+                  [-1.0, 0.0, 0.0],
+                  [0.0, -cp, sp]], np.float64)
+    cam_pts = (world - np.array([0.0, 0.0, cam_height])) @ R
+    z = cam_pts[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = cam.fx * cam_pts[..., 0] / z + cam.cx
+        v = cam.fy * cam_pts[..., 1] / z + cam.cy
+    ui = np.round(u).astype(np.int64)
+    vi = np.round(v).astype(np.int64)
+    ok = ((z > 0.05) & (ui >= 0) & (ui < cam.width)
+          & (vi >= 0) & (vi < cam.height))
+    out = np.full(gx.shape, -1, np.int32)
+    out[ok] = np.asarray(class_mask)[vi[ok], ui[ok]]
+    return out, xs, ys

@@ -109,3 +109,50 @@ def test_forbidden_class_region_reroutes_planner(net):
     mid = (path_zone[:, 0] > 2.0) & (path_zone[:, 0] < 5.0)
     assert np.abs(path_zone[mid, 1]).max() > 1.2, \
         "plan did not reroute around the detected forbidden zone"
+
+
+def test_bev_homography_recovers_zone_footprint():
+    """Depth-free ground-plane projection (`perspective_transform.py`
+    role): the BEV class grid built from the TRUE labels must reproduce
+    the forbidden zone's metric rectangle."""
+    from dddmr_navigation_tpu.perception.semantic_data import (
+        render_scene, bev_class_grid, CameraIntrinsics)
+    cam = CameraIntrinsics()
+    rng = np.random.default_rng(2)
+    zone = (3.0, -0.5, 1.6, 1.2)
+    _, _, labels, _, (origin, pitch) = render_scene(
+        rng, cam, n_boxes=0, zones=[zone], pitch_jitter=0.0)
+    grid, xs, ys = bev_class_grid(labels, cam, origin[2], pitch,
+                                  x_range=(1.0, 6.0), y_range=(-2.5, 2.5),
+                                  resolution=0.1)
+    gy, gx = np.nonzero(grid == 2)
+    assert len(gx) > 50, "no forbidden cells in BEV"
+    zx, zy = xs[gx], ys[gy]
+    # recovered extents match the true rectangle within a cell or two
+    assert abs(zx.min() - (zone[0] - zone[2] / 2)) < 0.25
+    assert abs(zx.max() - (zone[0] + zone[2] / 2)) < 0.25
+    assert abs(zy.min() - (zone[1] - zone[3] / 2)) < 0.25
+    assert abs(zy.max() - (zone[1] + zone[3] / 2)) < 0.25
+    # nothing outside the rectangle (+1 cell slack) is class 2
+    pad = 0.25
+    outside = ((zx < zone[0] - zone[2] / 2 - pad)
+               | (zx > zone[0] + zone[2] / 2 + pad)
+               | (zy < zone[1] - zone[3] / 2 - pad)
+               | (zy > zone[1] + zone[3] / 2 + pad))
+    assert not outside.any()
+
+
+def test_perspective_matrix_matches_manual_points():
+    """4-point DLT homography maps the source corners exactly."""
+    from dddmr_navigation_tpu.perception.semantic_data import (
+        perspective_matrix, warp_nearest)
+    src = [[409, 484], [878, 488], [1273, 646], [0, 638]]
+    dst = [[0, 0], [1000, 0], [1000, 950], [0, 950]]
+    M = perspective_matrix(src, dst)
+    for (x, y), (u, v) in zip(src, dst):
+        p = M @ np.array([x, y, 1.0])
+        np.testing.assert_allclose(p[:2] / p[2], [u, v], atol=1e-2)
+    img = np.zeros((700, 1300), np.int32)
+    img[480:650, 400:1280] = 7
+    out, ok = warp_nearest(img, M, 950, 1000)
+    assert (out[ok.reshape(950, 1000)] == 7).mean() > 0.8
