@@ -402,7 +402,11 @@ def bench_config3(ticks=20, reps=4):
                 max_num_steps=40),
             max_obstacle_points=2048,
             collision_obstacle_chunk=16, collision_near_k=128),
-        global_planner=GlobalPlannerConfig(max_relax_iters=320))
+        # max_long_edges=0: the multi-level graph has ZERO >=2*inscribed
+        # edges (measured at build; dense 0.25 m grid, no kNN orphan
+        # fallbacks), so the LOS stage would verify nothing
+        global_planner=GlobalPlannerConfig(max_relax_iters=320,
+                                           max_long_edges=0))
 
     ground, map_pts = multi_level_map()      # STACKED floors + ramp + duct
     weights, static_dgraph = compute_node_weights(ground, map_pts)

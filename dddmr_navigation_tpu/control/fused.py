@@ -227,12 +227,16 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
         spec, ri_spec, params, state.marking, fmap.map_ctx, scan_global,
         scan_mask, robot_pos, robot_quat, sensor_pos, robot_quat)
 
-    # 2. stacked composition + lethal aggregation
+    # 2. stacked composition + lethal aggregation (skipped when the LOS
+    # stage is disabled — its only consumer, see plan_on_graph)
     composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
-    lethal_pts, lethal_valid = lethal_cloud_from_dgraph(
-        fmap.ground, fmap.ground_valid, composed,
-        inscribed_radius=p.inscribed_radius,
-        max_lethal=nav_cfg.global_planner.max_lethal_points)
+    if nav_cfg.global_planner.max_long_edges > 0:
+        lethal_pts, lethal_valid = lethal_cloud_from_dgraph(
+            fmap.ground, fmap.ground_valid, composed,
+            inscribed_radius=p.inscribed_radius,
+            max_lethal=nav_cfg.global_planner.max_lethal_points)
+    else:
+        lethal_pts = lethal_valid = None
 
     # 3. global replan over THIS tick's composed field
     res = plan_on_graph(

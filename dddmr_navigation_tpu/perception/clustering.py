@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from dddmr_navigation_tpu.ops.compaction import first_k_true_indices
+
 
 def label_components(occ, tol_cells: int = 2, num_iters: int = 24):
     """Label connected components of a 3D occupancy grid.
@@ -93,9 +95,9 @@ def cluster_table(labels, occ, cell_pos, max_clusters: int):
     # bucket below (dropped for a tick, like an overflowed cluster).
     lin = jnp.arange(flat_labels.shape[0], dtype=flat_labels.dtype)
     root = flat_occ & (flat_labels == lin)
-    uniq = jnp.nonzero(root, size=max_clusters,
-                       fill_value=jnp.iinfo(jnp.int32).max)[0].astype(jnp.int32)
-    valid_cluster = uniq != jnp.iinfo(jnp.int32).max
+    uniq0 = first_k_true_indices(root, max_clusters)
+    valid_cluster = uniq0 >= 0
+    uniq = jnp.where(valid_cluster, uniq0, jnp.iinfo(jnp.int32).max)
 
     # Direct one-hot match instead of searchsorted: the (N, K) compare is
     # three streaming passes over ~46 MB, while searchsorted's binary-

@@ -49,6 +49,7 @@ from dddmr_navigation_tpu.perception.clustering import (
     label_components, cluster_table)
 from dddmr_navigation_tpu.perception.static_map import (
     MapContext, distance_to_ground, near_static)
+from dddmr_navigation_tpu.ops.compaction import first_k_true_indices
 
 
 class MarkingParams(NamedTuple):
@@ -161,7 +162,7 @@ def clear_marked(spec: VoxelSpec, ri_spec: RangeImageSpec,
 
     flat = grid.reshape(-1).astype(bool)
     k = params.max_marked_voxels
-    idx = jnp.nonzero(flat, size=k, fill_value=-1)[0]
+    idx = first_k_true_indices(flat, k)
     valid = idx >= 0
     safe = jnp.maximum(idx, 0)
     iz = safe % spec.nz
@@ -253,7 +254,7 @@ def update_dgraph(spec: VoxelSpec, params: MarkingParams, grid, origin,
     """
     flat = grid.reshape(-1).astype(bool)
     k = params.max_marked_voxels
-    mark_idx = jnp.nonzero(flat, size=k, fill_value=-1)[0]
+    mark_idx = first_k_true_indices(flat, k)
     mark_valid = mark_idx >= 0
     pos = _window_cell_positions(spec, origin).reshape(-1, 3)
     mpts = pos[jnp.clip(mark_idx, 0, pos.shape[0] - 1)]
@@ -271,7 +272,7 @@ def update_dgraph(spec: VoxelSpec, params: MarkingParams, grid, origin,
         & (jnp.abs(map_ctx.ground[:, 1] - robot_pos[1]) <= half_extent)
     )
     n = params.max_window_nodes
-    node_idx = jnp.nonzero(near, size=n, fill_value=-1)[0]
+    node_idx = first_k_true_indices(near, n)
     node_valid = node_idx >= 0
     nodes = map_ctx.ground[jnp.clip(node_idx, 0, map_ctx.ground.shape[0] - 1)]
 

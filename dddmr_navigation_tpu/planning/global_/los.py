@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from dddmr_navigation_tpu.ops.compaction import first_k_true_indices
+
 
 def long_edge_los_mask(nbr_idx, nbr_dist, nbr_valid, positions,
                        lethal_pts, lethal_valid, *,
@@ -49,7 +51,7 @@ def long_edge_los_mask(nbr_idx, nbr_dist, nbr_valid, positions,
     g, k = nbr_idx.shape
     long_edge = nbr_valid & (nbr_dist >= 2.0 * inscribed_radius)
     flat = long_edge.reshape(-1)
-    e_idx = jnp.nonzero(flat, size=max_long_edges, fill_value=-1)[0]
+    e_idx = first_k_true_indices(flat, max_long_edges)
     e_ok = e_idx >= 0
     safe_e = jnp.maximum(e_idx, 0)
     src = safe_e // k
@@ -85,7 +87,7 @@ def lethal_cloud_from_dgraph(ground, ground_valid, dgraph, *,
     `multilayer_spinning_lidar.cpp:283-306`: lethal_map entries are ground
     node ids). Returns ((L, 3) pts, (L,) valid)."""
     lethal = ground_valid & (dgraph <= inscribed_radius)
-    idx = jnp.nonzero(lethal, size=max_lethal, fill_value=-1)[0]
+    idx = first_k_true_indices(lethal, max_lethal)
     ok = idx >= 0
     pts = ground[jnp.maximum(idx, 0)]
     pts = jnp.where(ok[:, None], pts, 1e6)   # park invalid rows far away

@@ -48,13 +48,16 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
     When a lethal cloud is given, long edges (≥ 2×inscribed — the kNN
     orphan-fallback jumps) are line-of-sight verified against it first
     (`a_star_on_pc.cpp:168-198` semantics), so sparse-graph shortcuts
-    cannot tunnel through thin lethal walls."""
+    cannot tunnel through thin lethal walls. ``cfg.max_long_edges == 0``
+    skips the LOS stage entirely — correct whenever the built graph has
+    no long edges (dense regular grounds; check
+    ``(nbr_valid & (nbr_dist >= 2*inscribed)).sum()`` at build time)."""
     from dddmr_navigation_tpu.planning.global_.los import long_edge_los_mask
 
     start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
     goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
 
-    if lethal_pts is not None:
+    if lethal_pts is not None and cfg.max_long_edges > 0:
         los = long_edge_los_mask(
             graph_idx, graph_dist, graph_valid, ground, lethal_pts,
             lethal_valid, inscribed_radius=inscribed_radius,
