@@ -8,7 +8,86 @@ as padded jnp arrays downstream.
 """
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# LZF (libLZF) codec — PCL's binary_compressed encoding. Pure Python: maps
+# load once at startup, so the byte loop is acceptable and keeps the reader
+# dependency-free (the `lzf` wheel is not in the image).
+# ---------------------------------------------------------------------------
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Decompress a libLZF stream (the format `pcl::lzfDecompress` reads)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:                      # literal run of ctrl+1 bytes
+            run = ctrl + 1
+            out += data[i:i + run]
+            i += run
+        else:                              # back-reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            for _ in range(length + 2):    # may overlap: copy byte-wise
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected_size:
+        raise ValueError(
+            f"LZF stream decompressed to {len(out)} bytes, "
+            f"header promised {expected_size}")
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Greedy hash-table LZF compressor (`pcl::lzfCompress`-compatible
+    output; any conformant decompressor reads it)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    table = {}
+    lit_start = 0
+
+    def flush_literals(end):
+        j = lit_start
+        while j < end:
+            run = min(32, end - j)
+            out.append(run - 1)
+            out.extend(data[j:j + run])
+            j += run
+
+    while i < n - 2:
+        key = data[i:i + 3]
+        ref = table.get(key, -1)
+        table[key] = i
+        off = i - ref - 1
+        if ref >= 0 and off < 8192:
+            # extend the match
+            length = 3
+            maxlen = min(n - i, 264)
+            while length < maxlen and data[ref + length] == data[i + length]:
+                length += 1
+            flush_literals(i)
+            l_enc = length - 2
+            if l_enc < 7:
+                out.append((l_enc << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(l_enc - 7)
+            out.append(off & 0xFF)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
 
 
 def read_pcd(path: str) -> np.ndarray:
@@ -50,18 +129,32 @@ def read_pcd(path: str) -> np.ndarray:
                     for i in range(len(fields))]
             return np.concatenate(cols, axis=1)
         elif data_kind == "binary_compressed":
-            import lzf  # pragma: no cover - not in image; gate gracefully
-            raise NotImplementedError("binary_compressed PCD not supported")
+            # PCL layout: u32 compressed size, u32 uncompressed size, LZF
+            # blob of the SOA (field-major) point data
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            raw = lzf_decompress(f.read(comp_size), uncomp_size)
+            cols = []
+            off = 0
+            for c, t, sz in zip(counts, np_types, sizes):
+                nbytes = n_points * c * sz
+                arr = np.frombuffer(raw, dtype=t, count=n_points * c,
+                                    offset=off).reshape(n_points, c)
+                cols.append(arr.astype(np.float32))
+                off += nbytes
+            return np.concatenate(cols, axis=1)
         else:
             raise ValueError(f"unknown PCD DATA kind: {data_kind}")
 
 
 def write_pcd(path: str, points: np.ndarray, fields=("x", "y", "z"),
-              binary: bool = True) -> None:
-    """Write an (N, F) array as PCD v0.7 (float32 fields)."""
+              binary: bool = True, compressed: bool = False) -> None:
+    """Write an (N, F) array as PCD v0.7 (float32 fields). ``compressed``
+    emits PCL's binary_compressed (LZF over field-major data)."""
     points = np.asarray(points, dtype=np.float32)
     n, f_count = points.shape
     assert f_count == len(fields)
+    kind = "binary_compressed" if compressed else (
+        "binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
@@ -71,11 +164,16 @@ def write_pcd(path: str, points: np.ndarray, fields=("x", "y", "z"),
         f"COUNT {' '.join(['1'] * f_count)}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {kind}\n"
     )
     with open(path, "wb") as fh:
         fh.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            soa = np.ascontiguousarray(points.T).tobytes()   # field-major
+            blob = lzf_compress(soa)
+            fh.write(struct.pack("<II", len(blob), len(soa)))
+            fh.write(blob)
+        elif binary:
             fh.write(np.ascontiguousarray(points).tobytes())
         else:
             np.savetxt(fh, points, fmt="%.6f")
