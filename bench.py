@@ -463,6 +463,103 @@ def bench_config3(ticks=20, reps=4):
 
 
 # ---------------------------------------------------------------------------
+# config 4: 64 robots, ONE shared map, the FULL fused vertical each —
+# every robot marks its own scan, replans over the shared ground graph,
+# and scores its own rollouts, in one vmapped program on one chip
+# ---------------------------------------------------------------------------
+
+def bench_config4(robots=64, ticks=10, reps=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config import (
+        NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
+        PerceptionConfig, SpinningLidarConfig, GlobalPlannerConfig)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, init_fused_state, make_fused_tick, fused_tick)
+    from dddmr_navigation_tpu.parallel.fleet import fused_fleet_tick
+
+    lidar = SpinningLidarConfig(
+        scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
+        max_scan_points=2048)
+    cfg = NavigationConfig(
+        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=64,
+                                    voxel_window_cells_z=24,
+                                    max_marked_voxels=512),
+        local_planner=LocalPlannerConfig(
+            generator=DDSimpleGeneratorConfig(
+                linear_x_sample=16, angular_z_sample=16, max_num_steps=40),
+            max_obstacle_points=512, collision_obstacle_chunk=16,
+            collision_near_k=128),
+        # turning_weight=0: the direction-expanded field would cost
+        # (B, G, K, bins) per relaxation across 64 robots; the plain
+        # (B, G, K) relaxation is the right fleet-scale tradeoff.
+        # max_long_edges=0: dense flat grid, no orphan jumps.
+        global_planner=GlobalPlannerConfig(turning_weight=0.0,
+                                           max_long_edges=0,
+                                           max_relax_iters=192))
+    ground = flat_ground_map(12, 8, 0.25)
+    fmap = build_fused_map(cfg, ground)
+    _, spec, ri_spec, params = make_fused_tick(cfg)
+
+    b = robots
+    n_pad = cfg.perception.lidar.max_scan_points
+    positions = np.stack([np.full(b, -4.0), 0.1 * (np.arange(b) - b / 2),
+                          np.zeros(b)], 1).astype(np.float32)
+    goals = np.stack([np.full(b, 4.0), 0.1 * (np.arange(b) - b / 2),
+                      np.zeros(b)], 1).astype(np.float32)
+    quats = np.broadcast_to(
+        np.asarray(quat_from_yaw(jnp.float32(0.0))), (b, 4)).copy()
+    scans = np.zeros((b, n_pad, 3), np.float32)
+    masks = np.zeros((b, n_pad), bool)
+    for i in range(b):
+        box = box_obstacle([positions[i, 0] + 0.8, positions[i, 1] + 0.55,
+                            0.0], size=(0.2, 0.2, 1.0), resolution=0.1)
+        rel = box - (positions[i] + [0, 0, 0.3])
+        scans[i, :len(rel)] = rel[:n_pad]
+        masks[i, :min(len(rel), n_pad)] = True
+    states = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[init_fused_state(cfg, len(ground), robot_xyz=positions[i])
+          for i in range(b)])
+    offset = jnp.asarray([0.0, 0.0, 0.3])
+
+    @jax.jit
+    def run(fmap, states, scans, masks, pos, quat, goals):
+        def body(c, _):
+            s2, vx, wz, codes, ok = fused_fleet_tick(
+                cfg, spec, ri_spec, params, fmap, c, scans, masks, pos,
+                quat, offset, goals, jnp.full((b,), 0.2), jnp.zeros((b,)))
+            return s2, (vx, jnp.sum(ok.astype(jnp.int32)))
+        final, (vxs, oks) = jax.lax.scan(body, states, None, length=ticks)
+        return final.marking.dgraph, vxs, oks
+
+    def make_args():
+        return (fmap, states, jnp.asarray(scans), jnp.asarray(masks),
+                jnp.asarray(positions), jnp.asarray(quats),
+                jnp.asarray(goals))
+
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    best = min(per_tick)
+    s_padded = cfg.local_planner.generator.n_samples_padded
+    return {
+        "tick_ms": 1e3 * best,
+        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        "robots": b,
+        "rollouts_per_tick": b * s_padded,
+        "full_verticals_per_s": b / best,
+        # throughput framing: the reference runs ONE robot's vertical per
+        # machine at 10 Hz; this chip sustains this many such robots
+        "robots_at_10hz_per_chip": round(b / best / 10.0, 1),
+        "planned_last_tick": int(_force(out[2])[-1]),
+        "shared_map_nodes": len(ground),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
 # scaling
 # ---------------------------------------------------------------------------
 
@@ -658,8 +755,8 @@ def bench_config5_dryrun():
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    phases = ["config2", "config3", "scaling", "batch", "config5",
-              "backends"]
+    phases = ["config2", "config3", "config4", "scaling", "batch",
+              "config5", "backends"]
     ap.add_argument("--skip", nargs="*", default=[], choices=phases)
     ap.add_argument("--only", default=None, choices=["headline"] + phases,
                     help="run a single phase (cache-warming / debugging)")
@@ -690,6 +787,7 @@ def main():
     for name, key, fn in (
             ("config2", "config2", bench_config2),
             ("config3", "config3", bench_config3),
+            ("config4", "config4", bench_config4),
             ("batch_scaling", "batch", bench_batch_scaling),
             ("scaling", "scaling", bench_virtual_mesh_scaling),
             ("config5_dryrun", "config5", bench_config5_dryrun),
