@@ -95,3 +95,42 @@ def test_cloud_to_occupancy_matches_reference_layout():
 def test_cloud_to_occupancy_empty():
     grid, origin = cloud_to_occupancy(np.zeros((0, 3), np.float32))
     assert grid.shape == (0, 0)
+
+
+def test_map_editor_select_delete_undo_save(tmp_path):
+    """Map-cloud editor (the rviz map_editor_panel vertical,
+    `map_editor_panel.cpp:16-101`): region selection, delete, undo,
+    reference-format save."""
+    import numpy as np
+    from tools.map_editor import MapEditor
+    from dddmr_navigation_tpu.io.pcd import read_pcd
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    ed = MapEditor(pts)
+    n_sel = ed.select_box([-1, -1, -5], [1, 1, 5])
+    assert n_sel > 10
+    n_del = ed.delete_selected()
+    assert n_del == n_sel and len(ed.points) == 2000 - n_del
+    # nothing inside the box remains
+    inside = np.all((ed.points[:, :3] >= [-1, -1, -5])
+                    & (ed.points[:, :3] <= [1, 1, 5]), axis=1)
+    assert not inside.any()
+    # undo restores
+    assert ed.undo()
+    assert len(ed.points) == 2000
+    # radius + z-band compose; deselect subtracts
+    ed.clear_selection()
+    ed.select_radius([0, 0, 0], 2.0)
+    before = int(ed.selected.sum())
+    ed.select_radius([0, 0, 0], 1.0, add=False)
+    assert int(ed.selected.sum()) < before
+    # crop-to-selection + save roundtrip
+    ed.clear_selection()
+    ed.select_z_band(0.0, 5.0)
+    kept = ed.keep_only_selected()
+    out = str(tmp_path / "edited.pcd")
+    ed.save(out, compressed=True)
+    back = read_pcd(out)
+    assert len(back) == kept
+    assert (back[:, 2] >= 0.0).all()
