@@ -91,6 +91,7 @@ class MappingSession:
     n_edges: int = 0
     graph: pg.PoseGraphArrays | None = None
     loop_closures: list = field(default_factory=list)
+    paused: bool = False
     _submap: tuple | None = None
 
     def __post_init__(self):
@@ -153,8 +154,18 @@ class MappingSession:
         return np.asarray(rel_p), np.asarray(rel_q)
 
     # -- main entry ---------------------------------------------------------
+    def pause(self):
+        """Mapping panel 'pause' (`mapping_panel.cpp:88-106`): scans are
+        ignored until :meth:`resume`; the pose and graph hold still."""
+        self.paused = True
+
+    def resume(self):
+        self.paused = False
+
     def process_scan(self, points, mask):
         """Feed one sweep (sensor frame). Returns the current map pose."""
+        if self.paused:
+            return self.cur_pos, self.cur_quat
         feats = _frontend(self.cfg, jnp.asarray(points), jnp.asarray(mask))
 
         if self.n_keyframes == 0:

@@ -294,3 +294,27 @@ def test_manual_loop_in_mapping():
                                     fitness_gate=-1.0)
     assert not accepted2
     assert sess.n_edges == edges_before + 1
+
+
+def test_mapping_pause_resume():
+    """Mapping-panel pause/resume: scans fed while paused change nothing;
+    mapping continues after resume (`mapping_panel.cpp:88-106`)."""
+    sess = MappingSession(cfg=CFG)
+    pos = np.array([-3.0, -3.0, 0.8], np.float32)
+    for t in range(3):
+        pts, mask = simulate_scan(WORLD, pos, 0.0, n_rings=16, n_cols=250)
+        sess.process_scan(pts, mask)
+        pos = pos + np.array([0.5, 0.0, 0.0], np.float32)
+    kf = sess.n_keyframes
+    p_before = sess.cur_pos.copy()
+    sess.pause()
+    for t in range(3):
+        pts, mask = simulate_scan(WORLD, pos, 0.0, n_rings=16, n_cols=250)
+        sess.process_scan(pts, mask)
+        pos = pos + np.array([0.5, 0.0, 0.0], np.float32)
+    assert sess.n_keyframes == kf
+    np.testing.assert_array_equal(sess.cur_pos, p_before)
+    sess.resume()
+    pts, mask = simulate_scan(WORLD, pos, 0.0, n_rings=16, n_cols=250)
+    sess.process_scan(pts, mask)
+    assert not np.array_equal(sess.cur_pos, p_before)
