@@ -43,6 +43,7 @@ _PAGE = """<!DOCTYPE html>
 const cv = document.getElementById('c'), hud = document.getElementById('hud');
 const ctx = cv.getContext('2d');
 let map = null, st = null, T = null;
+let zlo = -1e9, zhi = 1e9;   // floor filter (keys 1/2/0)
 function fit() {
   cv.width = innerWidth; cv.height = innerHeight;
   if (!map) return;
@@ -64,6 +65,8 @@ function draw() {
   ctx.fillStyle = '#111'; ctx.fillRect(0,0,cv.width,cv.height);
   const dg = st ? st.dgraph : null;
   for (let i = 0; i < map.ground.length; i++) {
+    const z = map.z[i];
+    if (z < zlo || z > zhi) continue;
     const p = W2C(map.ground[i]);
     ctx.fillStyle = dg ? heat(dg[i], 9000) : '#2a4a2a';
     ctx.fillRect(p[0]-1, p[1]-1, 2.4, 2.4);
@@ -100,7 +103,7 @@ function draw() {
     `decision ${st.decision}  planner_state ${st.planner_state}\\n` +
     `robot (${st.robot[0].toFixed(2)}, ${st.robot[1].toFixed(2)}, ` +
     `${st.robot[2].toFixed(2)})  v=${st.v.toFixed(2)} w=${st.w.toFixed(2)}\\n`+
-    `tick ${st.tick}   click: goal   shift-click: initial pose`;
+    `tick ${st.tick}  click: goal  shift-click: pose  keys 1/2/0: floor`;
 }
 cv.addEventListener('click', async e => {
   if (!T) return;
@@ -109,6 +112,12 @@ cv.addEventListener('click', async e => {
   await fetch(ep, {method:'POST', body: JSON.stringify({x:w[0], y:w[1]})});
 });
 addEventListener('resize', () => {fit(); draw();});
+addEventListener('keydown', e => {   // stacked-floor filter
+  if (e.key === '0') { zlo = -1e9; zhi = 1e9; }
+  if (e.key === '1') { zlo = -1e9; zhi = map.z_mid; }
+  if (e.key === '2') { zlo = map.z_mid; zhi = 1e9; }
+  draw();
+});
 (async () => {
   map = await (await fetch('/map')).json(); fit();
   for (;;) {
@@ -135,6 +144,9 @@ class NavViewer:
         g = ground[self._idx]
         self._map_json = json.dumps({
             "ground": np.round(g[:, :2], 3).tolist(),
+            "z": np.round(g[:, 2], 2).tolist(),
+            # stacked-floor split point for the viewer's 1/2 filter keys
+            "z_mid": float((g[:, 2].min() + g[:, 2].max()) / 2.0),
             "bounds": [float(g[:, 0].min()), float(g[:, 1].min()),
                        float(g[:, 0].max()), float(g[:, 1].max())],
         }).encode()
