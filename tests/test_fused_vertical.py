@@ -179,3 +179,45 @@ def test_device_observation_one_point_per_voxel():
     # every representative is an actual (valid) scan point
     valid_set = {tuple(p) for p in pts[mask].tolist()}
     assert all(tuple(p) in valid_set for p in got.tolist())
+
+
+def test_fused_state_checkpoint_roundtrip(tmp_path, setup):
+    """The fused vertical's state is one pytree — checkpoint/resume rides
+    the standard runtime machinery (SURVEY §5 checkpoint row)."""
+    from dddmr_navigation_tpu.runtime.checkpoint import (
+        save_pytree, restore_pytree)
+    from dddmr_navigation_tpu.control.fused import init_fused_state
+    cfg, ground, fmap, tick, *_ = setup
+    robot = np.array([-4.0, 0.0, 0.0], np.float32)
+    quat = np.asarray(quat_from_yaw(jnp.float32(0.0)))
+    n_pad = cfg.perception.lidar.max_scan_points
+    scan = np.zeros((n_pad, 3), np.float32)
+    scan[:50] = np.random.default_rng(0).uniform(
+        -1, 1, (50, 3)).astype(np.float32) + [-3.2, 0.3, 0.6]
+    mask = np.zeros((n_pad,), bool)
+    mask[:50] = True
+    state = init_fused_state(cfg, len(ground), robot_xyz=robot)
+    state, _ = tick(fmap, state, jnp.asarray(scan), jnp.asarray(mask),
+                    jnp.asarray(robot), jnp.asarray(quat),
+                    jnp.asarray([0.0, 0.0, 0.5]),
+                    jnp.asarray([4.0, 0.0, 0.0]),
+                    jnp.float32(0.2), jnp.float32(0.0))
+    p = str(tmp_path / "fused_ckpt")
+    save_pytree(p, state)
+    template = init_fused_state(cfg, len(ground), robot_xyz=robot)
+    restored = restore_pytree(p, template)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resuming produces the same next tick as the original
+    s1, o1 = tick(fmap, state, jnp.asarray(scan), jnp.asarray(mask),
+                  jnp.asarray(robot), jnp.asarray(quat),
+                  jnp.asarray([0.0, 0.0, 0.5]), jnp.asarray([4.0, 0.0, 0.0]),
+                  jnp.float32(0.2), jnp.float32(0.0))
+    s2, o2 = tick(fmap, restored, jnp.asarray(scan), jnp.asarray(mask),
+                  jnp.asarray(robot), jnp.asarray(quat),
+                  jnp.asarray([0.0, 0.0, 0.5]), jnp.asarray([4.0, 0.0, 0.0]),
+                  jnp.float32(0.2), jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(o1.vx), np.asarray(o2.vx))
+    np.testing.assert_array_equal(np.asarray(s1.marking.grid),
+                                  np.asarray(s2.marking.grid))
