@@ -61,6 +61,13 @@ class FusedMap(NamedTuple):
 
 class FusedState(NamedTuple):
     marking: MarkingState
+    # Warm-start carry for the wavefront: previous tick's relaxation field
+    # ((G,) plain or (G, B) direction-expanded) + the goal node it was
+    # relaxed toward. plan_on_graph discards the field when the goal node
+    # changes, so a fresh goal pays one cold solve and subsequent ticks
+    # re-converge in O(field-change) iterations.
+    wf_dist: jnp.ndarray
+    wf_goal_idx: jnp.ndarray
 
 
 class FusedOut(NamedTuple):
@@ -73,6 +80,7 @@ class FusedOut(NamedTuple):
     composed_dgraph: jnp.ndarray
     obs: jnp.ndarray            # (k, 3) this tick's aggregated observation
     obs_mask: jnp.ndarray       # (k,)
+    wf_iters: jnp.ndarray       # () int32 wavefront iterations this tick
 
 
 def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
@@ -113,8 +121,13 @@ def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
         nx=p.voxel_window_cells_xy, ny=p.voxel_window_cells_xy,
         nz=p.voxel_window_cells_z, xy_resolution=p.lidar.xy_resolution,
         height_resolution=p.lidar.height_resolution)
-    return FusedState(marking=init_marking_state(spec, params,
-                                                 num_ground_nodes, robot_xyz))
+    gp = cfg.global_planner
+    wf_shape = ((num_ground_nodes, gp.turning_dir_bins)
+                if gp.turning_weight > 0.0 else (num_ground_nodes,))
+    return FusedState(
+        marking=init_marking_state(spec, params, num_ground_nodes, robot_xyz),
+        wf_dist=jnp.full(wf_shape, jnp.inf, jnp.float32),
+        wf_goal_idx=jnp.asarray(-1, jnp.int32))
 
 
 def device_observation(scan_pts, scan_mask, k: int, leaf: float = 0.1):
@@ -238,14 +251,16 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     else:
         lethal_pts = lethal_valid = None
 
-    # 3. global replan over THIS tick's composed field
+    # 3. global replan over THIS tick's composed field, warm-started from
+    # the previous tick's relaxation (reset automatically on goal change)
     res = plan_on_graph(
         nav_cfg.global_planner, fmap.nbr_idx, fmap.nbr_dist, fmap.nbr_valid,
         fmap.ground, fmap.ground_valid, composed, fmap.node_weight,
         fmap.avg_intensity, robot_pos, goal_pos,
         inscribed_radius=p.inscribed_radius,
         inflation_descending_rate=p.inflation_descending_rate,
-        lethal_pts=lethal_pts, lethal_valid=lethal_valid)
+        lethal_pts=lethal_pts, lethal_valid=lethal_valid,
+        warm_dist=state.wf_dist, warm_goal_idx=state.wf_goal_idx)
 
     # 4. node path → interpolated plan (getROSPath) on device
     plan = interpolate_path_device(
@@ -261,8 +276,10 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
 
     out = FusedOut(vx=cmd.vx, wz=cmd.wz, state=cmd.state,
                    best_cost=cmd.best_cost, plan=plan, plan_ok=res.ok,
-                   composed_dgraph=composed, obs=obs, obs_mask=obs_mask)
-    return FusedState(marking=marking), out
+                   composed_dgraph=composed, obs=obs, obs_mask=obs_mask,
+                   wf_iters=res.iters)
+    return FusedState(marking=marking, wf_dist=res.dist_carry,
+                      wf_goal_idx=res.goal_idx), out
 
 
 def make_fused_tick(nav_cfg: NavigationConfig,

@@ -26,6 +26,10 @@ class GlobalPathResult(NamedTuple):
     length: jnp.ndarray     # () int32
     ok: jnp.ndarray         # () bool
     dist_to_goal: jnp.ndarray  # (G,) the reusable distance field
+    dist_carry: jnp.ndarray    # raw relaxation field — (G,) plain or
+                               # (G, B) direction-expanded — for warm starts
+    goal_idx: jnp.ndarray      # () int32 snapped goal node (warm-start key)
+    iters: jnp.ndarray         # () int32 relaxation iterations run
 
 
 def snap_to_ground(ground, ground_valid, pos, radius: float = 0.5):
@@ -41,7 +45,8 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
                   ground, ground_valid, dgraph, node_weight, avg_intensity,
                   start_pos, goal_pos, *, inscribed_radius: float,
                   inflation_descending_rate: float,
-                  lethal_pts=None, lethal_valid=None) -> GlobalPathResult:
+                  lethal_pts=None, lethal_valid=None,
+                  warm_dist=None, warm_goal_idx=None) -> GlobalPathResult:
     """Full jittable plan: snap → relax → extract. Reusable distance field
     comes back for DWA look-ahead replanning.
 
@@ -51,11 +56,22 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
     cannot tunnel through thin lethal walls. ``cfg.max_long_edges == 0``
     skips the LOS stage entirely — correct whenever the built graph has
     no long edges (dense regular grounds; check
-    ``(nbr_valid & (nbr_dist >= 2*inscribed)).sum()`` at build time)."""
+    ``(nbr_valid & (nbr_dist >= 2*inscribed)).sum()`` at build time).
+
+    Warm start: pass the previous tick's ``result.dist_carry`` /
+    ``result.goal_idx`` as ``warm_dist`` / ``warm_goal_idx``; the
+    relaxation then re-converges from the old field (O(change) iterations
+    instead of O(path-diameter) — see `wavefront_distances`). The warm
+    field is discarded automatically when the snapped goal node changed."""
     from dddmr_navigation_tpu.planning.global_.los import long_edge_los_mask
 
     start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
     goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
+
+    if warm_dist is not None:
+        same_goal = (goal_idx == warm_goal_idx) if warm_goal_idx is not None \
+            else jnp.asarray(True)
+        warm_dist = jnp.where(same_goal, warm_dist, jnp.inf)
 
     if lethal_pts is not None and cfg.max_long_edges > 0:
         los = long_edge_los_mask(
@@ -69,28 +85,34 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
                        inflation_descending_rate=inflation_descending_rate)
     if cfg.turning_weight > 0.0:
         # direction-expanded relaxation carries θ·w_turn exactly
-        dist_gb, edge_bins = wavefront_distances_turning(
+        dist_gb, edge_bins, iters = wavefront_distances_turning(
             graph_idx, graph_dist, graph_valid, enter, avg_intensity,
             goal_idx, ground, cfg.turning_weight,
-            n_dir_bins=cfg.turning_dir_bins, max_iters=cfg.max_relax_iters)
+            n_dir_bins=cfg.turning_dir_bins, max_iters=cfg.max_relax_iters,
+            dist0=warm_dist)
         ids, valid, length, p_ok = extract_path_turning(
             graph_idx, graph_dist, graph_valid, enter, dist_gb, edge_bins,
             start_idx, goal_idx, ground, cfg.turning_weight,
             max_len=cfg.max_path_len)
         dist_to_goal = jnp.min(dist_gb, axis=1)
+        dist_carry = dist_gb
     else:
         wf = wavefront_distances(graph_idx, graph_dist, graph_valid, enter,
                                  avg_intensity, goal_idx,
-                                 max_iters=cfg.max_relax_iters)
+                                 max_iters=cfg.max_relax_iters,
+                                 dist0=warm_dist)
         ids, valid, length, p_ok = extract_path(
             graph_idx, graph_dist, graph_valid, enter, wf.dist, start_idx,
             goal_idx, max_len=cfg.max_path_len,
             turning_weight=0.0, positions=ground)
         dist_to_goal = wf.dist
+        dist_carry = wf.dist
+        iters = wf.iters
     ok = s_ok & g_ok & p_ok
     return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
                             length=jnp.where(ok, length, 0), ok=ok,
-                            dist_to_goal=dist_to_goal)
+                            dist_to_goal=dist_to_goal, dist_carry=dist_carry,
+                            goal_idx=goal_idx, iters=iters)
 
 
 def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,

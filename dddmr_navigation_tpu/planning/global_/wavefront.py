@@ -92,7 +92,7 @@ def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
                                 avg_intensity, goal_idx, positions,
                                 turning_weight: float, *,
                                 n_dir_bins: int = 16,
-                                max_iters: int = 512):
+                                max_iters: int = 512, dist0=None):
     """Direction-expanded relaxation for ``turning_weight > 0``: the state
     is (node, incoming-direction bin), so the reference's parent-angle
     term θ·w_turn (`a_star_on_pc.cpp:284-288`) is carried EXACTLY inside
@@ -100,7 +100,14 @@ def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
     outgoing leg uses the exact edge azimuth). One extra tensor axis — the
     TPU answer to a term that breaks plain label-correcting relaxation.
 
-    Returns (dist (G, B) cost-to-goal given arrival bin, edge_bins (G, K)).
+    ``dist0`` warm-starts the relaxation from a previous tick's field (see
+    :func:`wavefront_distances` for the correctness argument); the
+    fixpoint operator here is the plain Bellman update (no monotone
+    clamp), so costs that ROSE since the warm field was computed are
+    repaired, not frozen.
+
+    Returns (dist (G, B) cost-to-goal given arrival bin, edge_bins (G, K),
+    iters).
     """
     g, k = nbr_idx.shape
     b = n_dir_bins
@@ -110,12 +117,10 @@ def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
         jnp.floor((az + jnp.pi) / (2.0 * jnp.pi) * b).astype(jnp.int32), b)
     centers = -jnp.pi + (jnp.arange(b, dtype=jnp.float32) + 0.5) * (2.0 * jnp.pi / b)
 
-    # θ(b_in, edge): |wrap(az_edge − center_b)| with the dead zone
-    dtheta = _theta_capped(jnp.abs(_wrap_angle(
-        az[:, :, None] - centers[None, None, :])))         # (G, K, B)
-
     safe_idx = jnp.maximum(nbr_idx, 0)
-    dist0 = jnp.full((g, b), big).at[goal_idx, :].set(0.0)
+    if dist0 is None:
+        dist0 = jnp.full((g, b), big)
+    dist0 = dist0.at[goal_idx, :].set(0.0)
 
     # XLA's TPU element gather runs at ~10 ns/element, so the loop body
     # row-gathers the full (B,) bin vector per edge (vectorized rows,
@@ -127,35 +132,45 @@ def wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost,
     # keep the original association order (reassociating them drifts the
     # relaxed field ~3e-3 over the real map's ~300 iterations).
     # Measured: 62 → 17 ms per full cold relaxation on the ramp-map bench.
+    # The (G,K,B) bin_sel / dtheta tensors are recomputed INSIDE the body
+    # from their (G,K) parents: at real-map scale (27k nodes) reading two
+    # cached (G,K,B) f32 tensors costs ~55 MB of HBM per iteration, while
+    # recomputing them is a handful of VPU ops on fusion-internal values.
     enter_g = enter_cost[safe_idx]                         # (G, K), hoisted
-    bin_sel = jnp.where(
-        bin_of_edge[:, :, None] == jnp.arange(b)[None, None, :],
-        0.0, big)                                          # (G, K, B)
+    bins_iota = jnp.arange(b)
 
     def body(carry):
         dist, _, it = carry
+        bin_sel = jnp.where(
+            bin_of_edge[:, :, None] == bins_iota[None, None, :],
+            0.0, big)                                      # (G, K, B)
+        dtheta = _theta_capped(jnp.abs(_wrap_angle(
+            az[:, :, None] - centers[None, None, :])))     # (G, K, B)
         nd = dist[safe_idx]                                # (G, K, B) rows
         nd_in = jnp.min(nd + bin_sel, axis=2)              # (G, K) bin select
         base = (nd_in + nbr_dist + enter_g
                 + avg_intensity[:, None])                  # (G, K)
         base = jnp.where(nbr_valid, base, big)
         cand = base[:, :, None] + turning_weight * dtheta  # (G, K, B)
-        new = jnp.minimum(dist, jnp.min(cand, axis=1))
-        new = new.at[goal_idx, :].set(0.0)
-        changed = jnp.any(new < dist)
+        # Plain Bellman operator (goal pinned): from an inf init this is
+        # bit-identical to min(dist, ·) — see wavefront_distances — and
+        # from a warm init it can RAISE stale-low values.
+        new = jnp.min(cand, axis=1).at[goal_idx, :].set(0.0)
+        changed = jnp.any(new != dist)
         return new, changed, it + 1
 
     def cond(carry):
         _, changed, it = carry
         return changed & (it < max_iters)
 
-    dist, _, _ = lax.while_loop(
+    dist, _, iters = lax.while_loop(
         cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
-    return dist, bin_of_edge
+    return dist, bin_of_edge, iters
 
 
 def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
-                        goal_idx, *, max_iters: int = 512) -> WavefrontResult:
+                        goal_idx, *, max_iters: int = 512,
+                        dist0=None) -> WavefrontResult:
     """Cost-to-goal for every node by iterative relaxation.
 
     ``dist[u] = min_v dist[v] + step_uv + enter_cost[v] + avg_intensity[u]``
@@ -163,16 +178,33 @@ def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
     and the source's neighborhood intensity, matching the reference A*
     (`a_star_on_pc.cpp:288`).
 
+    Warm start: passing the previous tick's field as ``dist0`` re-converges
+    in O(field-change) iterations instead of O(path-diameter). The body is
+    the plain Bellman operator (no ``min(dist, ·)`` clamp) with the goal
+    pinned at 0, so it is self-correcting in BOTH directions: costs that
+    dropped propagate as usual, and stale-low values from costs that ROSE
+    (a new obstacle) are raised toward the true fixpoint — each lap of the
+    cheapest sustaining cycle adds at least its weight, so finite rises
+    repair in (Δcost / min-cycle-weight) iterations. The one slow case is
+    a region becoming fully unreachable (its values must rise without
+    bound and the loop runs to ``max_iters``, after which extraction
+    reports failure exactly as a cold solve would). From an inf init the
+    operator is bit-identical, iteration by iteration, to the clamped
+    form — cand ≤ dist always holds — so cold parity is unchanged.
+
     Args:
       nbr_idx/nbr_dist/nbr_valid: (G, K) padded neighbor table.
       enter_cost: (G,) per-node entry cost (inf = lethal).
       avg_intensity: (G,) per-source neighborhood intensity.
       goal_idx: () int32 goal node.
       max_iters: upper bound; the loop exits early at fixpoint.
+      dist0: optional (G,) warm-start field (defaults to inf-init).
     """
     g = nbr_idx.shape[0]
     big = jnp.float32(jnp.inf)
-    dist0 = jnp.full((g,), big).at[goal_idx].set(0.0)
+    if dist0 is None:
+        dist0 = jnp.full((g,), big)
+    dist0 = dist0.at[goal_idx].set(0.0)
     safe_idx = jnp.maximum(nbr_idx, 0)
     enter_g = enter_cost[safe_idx]                       # (G, K), hoisted
 
@@ -186,9 +218,8 @@ def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
         nd = jnp.broadcast_to(dist[:, None], (g, 8))[safe_idx][:, :, 0]
         cand = nd + nbr_dist + enter_g + avg_intensity[:, None]
         cand = jnp.where(nbr_valid, cand, big)
-        new = jnp.minimum(dist, jnp.min(cand, axis=1))
-        new = new.at[goal_idx].set(0.0)
-        changed = jnp.any(new < dist)
+        new = jnp.min(cand, axis=1).at[goal_idx].set(0.0)
+        changed = jnp.any(new != dist)
         return new, changed, it + 1
 
     def cond(carry):

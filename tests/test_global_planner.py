@@ -161,3 +161,84 @@ def test_post_smooth_path_keeps_node_at_obstacle():
                     np.float32)
     sm = post_smooth_path(ground, wall, ids)
     assert len(sm) > 2  # interior nodes kept near the obstacle
+
+
+class TestWarmStart:
+    """Warm-started relaxation (`wavefront_distances(dist0=...)`) must reach
+    the SAME fixpoint as a cold solve — including after cost RISES, which
+    the old monotone-clamped operator could not repair."""
+
+    def _solve(self, graph, dgraph, goal, dist0=None, nw=None):
+        g = graph.num_nodes
+        nw = np.zeros(g, np.float32) if nw is None else nw
+        enter = node_costs(jnp.asarray(dgraph), jnp.asarray(nw),
+                           inscribed_radius=INSCRIBED,
+                           inflation_descending_rate=RATE)
+        return wavefront_distances(
+            jnp.asarray(graph.nbr_idx), jnp.asarray(graph.nbr_dist),
+            jnp.asarray(graph.nbr_valid), enter,
+            jnp.asarray(graph.avg_intensity), jnp.asarray(goal),
+            dist0=dist0)
+
+    def test_warm_after_cost_drop_matches_cold(self, small_world):
+        ground, graph = small_world
+        blocked = dgraph_with_wall(ground)
+        open_d = np.full(len(ground), 9999.0, np.float32)
+        wf_blocked = self._solve(graph, blocked, goal=0)
+        warm = self._solve(graph, open_d, goal=0, dist0=wf_blocked.dist)
+        cold = self._solve(graph, open_d, goal=0)
+        np.testing.assert_array_equal(np.asarray(warm.dist),
+                                      np.asarray(cold.dist))
+
+    def test_warm_after_cost_rise_matches_cold(self, small_world):
+        """A wall APPEARS: stale-low values behind it must rise to the
+        detour cost. The monotone-clamped operator would freeze them."""
+        ground, graph = small_world
+        open_d = np.full(len(ground), 9999.0, np.float32)
+        blocked = dgraph_with_wall(ground)
+        wf_open = self._solve(graph, open_d, goal=0)
+        warm = self._solve(graph, blocked, goal=0, dist0=wf_open.dist)
+        cold = self._solve(graph, blocked, goal=0)
+        w, c = np.asarray(warm.dist), np.asarray(cold.dist)
+        assert np.array_equal(np.isfinite(w), np.isfinite(c))
+        np.testing.assert_allclose(w[np.isfinite(c)], c[np.isfinite(c)],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_warm_identical_field_converges_fast(self, small_world):
+        ground, graph = small_world
+        d = dgraph_with_wall(ground)
+        cold = self._solve(graph, d, goal=0)
+        warm = self._solve(graph, d, goal=0, dist0=cold.dist)
+        # fixpoint verification only: one sweep + the no-change exit
+        assert int(warm.iters) <= 2
+        assert int(cold.iters) > int(warm.iters)
+        np.testing.assert_array_equal(np.asarray(warm.dist),
+                                      np.asarray(cold.dist))
+
+    def test_plan_on_graph_warm_resets_on_goal_change(self, small_world):
+        ground, graph = small_world
+        cfg = GlobalPlannerConfig(max_long_edges=0)
+        d = np.full(len(ground), 9999.0, np.float32)
+        args = (jnp.asarray(graph.nbr_idx), jnp.asarray(graph.nbr_dist),
+                jnp.asarray(graph.nbr_valid), jnp.asarray(ground),
+                jnp.ones(len(ground), bool), jnp.asarray(d),
+                jnp.zeros(len(ground)), jnp.asarray(graph.avg_intensity))
+        start = jnp.asarray([-3.0, -3.0, 0.0])
+        goal_a = jnp.asarray([3.0, 3.0, 0.0])
+        goal_b = jnp.asarray([3.0, -3.0, 0.0])
+        kw = dict(inscribed_radius=INSCRIBED,
+                  inflation_descending_rate=RATE)
+        r1 = plan_on_graph(cfg, *args, start, goal_a, **kw)
+        # same goal, warm: near-instant, same path
+        r2 = plan_on_graph(cfg, *args, start, goal_a, **kw,
+                           warm_dist=r1.dist_carry, warm_goal_idx=r1.goal_idx)
+        assert int(r2.iters) <= 2
+        np.testing.assert_array_equal(np.asarray(r1.node_ids),
+                                      np.asarray(r2.node_ids))
+        # goal changed: the warm field must be discarded, not descended
+        r3 = plan_on_graph(cfg, *args, start, goal_b, **kw,
+                           warm_dist=r1.dist_carry, warm_goal_idx=r1.goal_idx)
+        r3_cold = plan_on_graph(cfg, *args, start, goal_b, **kw)
+        assert bool(r3.ok)
+        np.testing.assert_array_equal(np.asarray(r3.node_ids),
+                                      np.asarray(r3_cold.node_ids))
