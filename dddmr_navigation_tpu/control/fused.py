@@ -57,6 +57,13 @@ class FusedMap(NamedTuple):
     avg_intensity: jnp.ndarray  # (G,)
     node_weight: jnp.ndarray    # (G,)
     static_dgraph: jnp.ndarray  # (G,) static-layer field (overhang lethals)
+    los_relevant: jnp.ndarray   # (G,) nodes near a long edge (LOS gating)
+    # static turning-planner geometry (None when turning_weight == 0):
+    # per-edge azimuths/bins for the relaxation and the (G,K,K) exact-θ
+    # penalty table for extraction — map properties, computed once
+    wf_az: object
+    wf_bins: object
+    turn_pen: object
 
 
 class FusedState(NamedTuple):
@@ -100,6 +107,20 @@ def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
           else np.asarray(node_weight, np.float32))
     sd = (np.full((g,), cfg.perception.max_obstacle_distance, np.float32)
           if static_dgraph is None else np.asarray(static_dgraph, np.float32))
+    los_rel = _los_relevant_mask(
+        ground, graph, inscribed_radius=cfg.perception.inscribed_radius)
+    gp = cfg.global_planner
+    if gp.turning_weight > 0.0:
+        from dddmr_navigation_tpu.planning.global_.wavefront import (
+            edge_azimuth, turning_penalty_table)
+        az = edge_azimuth(jnp.asarray(ground), jnp.asarray(graph.nbr_idx))
+        b = gp.turning_dir_bins
+        bins = jnp.mod(jnp.floor(
+            (az + jnp.pi) / (2.0 * jnp.pi) * b).astype(jnp.int32), b)
+        tpen = turning_penalty_table(jnp.asarray(graph.nbr_idx),
+                                     jnp.asarray(ground), gp.turning_weight)
+    else:
+        az = bins = tpen = None
     return FusedMap(
         map_ctx=build_map_context(ground, map_pts, node_weight=node_weight),
         ground=jnp.asarray(ground),
@@ -110,7 +131,41 @@ def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
         avg_intensity=jnp.asarray(graph.avg_intensity),
         node_weight=jnp.asarray(nw),
         static_dgraph=jnp.asarray(sd),
+        los_relevant=jnp.asarray(los_rel),
+        wf_az=az, wf_bins=bins, turn_pen=tpen,
     )
+
+
+def _los_relevant_mask(ground: np.ndarray, graph,
+                       inscribed_radius: float) -> np.ndarray:
+    """(G,) bool: nodes within LOS reach (2×inscribed + slack) of at least
+    one LONG edge segment. The LOS stage (`a_star_on_pc.cpp:168-198`)
+    radius-searches the lethal cloud with 2×inscribed around samples on
+    long edges ONLY, so lethal nodes far from every long edge can never
+    influence a verdict — restricting the device-side lethal extraction to
+    this static mask keeps the lethal budget small on real maps where the
+    *static* lethal set alone (overhangs) runs to thousands of nodes.
+    Host-side, build-time (the long-edge set is a graph property)."""
+    long_e = graph.nbr_valid & (graph.nbr_dist >= 2.0 * inscribed_radius)
+    if not long_e.any():
+        return np.zeros(len(ground), bool)
+    src, kk = np.nonzero(long_e)
+    dst = graph.nbr_idx[src, kk]
+    p0 = ground[src]                                     # (E, 3)
+    p1 = ground[dst]
+    reach = 2.0 * inscribed_radius + 0.1
+    rel = np.zeros(len(ground), bool)
+    # chunked point-to-segment distance (E can reach thousands)
+    for s in range(0, len(p0), 256):
+        a = p0[s:s + 256]                                # (e, 3)
+        d = p1[s:s + 256] - a
+        L2 = np.maximum(np.sum(d * d, axis=1), 1e-12)
+        w = ground[:, None, :] - a[None, :, :]           # (G, e, 3)
+        t = np.clip(np.einsum("gej,ej->ge", w, d) / L2[None, :], 0.0, 1.0)
+        closest = a[None, :, :] + t[..., None] * d[None, :, :]
+        dist2 = np.sum((ground[:, None, :] - closest) ** 2, axis=-1)
+        rel |= (dist2 <= reach * reach).any(axis=1)
+    return rel
 
 
 def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
@@ -244,8 +299,11 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     # stage is disabled — its only consumer, see plan_on_graph)
     composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
     if nav_cfg.global_planner.max_long_edges > 0:
+        # Only nodes near a long edge can affect an LOS verdict — the
+        # static los_relevant mask keeps the extraction budget tight on
+        # real maps with thousands of static overhang lethals.
         lethal_pts, lethal_valid = lethal_cloud_from_dgraph(
-            fmap.ground, fmap.ground_valid, composed,
+            fmap.ground, fmap.ground_valid & fmap.los_relevant, composed,
             inscribed_radius=p.inscribed_radius,
             max_lethal=nav_cfg.global_planner.max_lethal_points)
     else:
@@ -260,7 +318,8 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
         inscribed_radius=p.inscribed_radius,
         inflation_descending_rate=p.inflation_descending_rate,
         lethal_pts=lethal_pts, lethal_valid=lethal_valid,
-        warm_dist=state.wf_dist, warm_goal_idx=state.wf_goal_idx)
+        warm_dist=state.wf_dist, warm_goal_idx=state.wf_goal_idx,
+        turn_pen=fmap.turn_pen, wf_az=fmap.wf_az, wf_bins=fmap.wf_bins)
 
     # 4. node path → interpolated plan (getROSPath) on device
     plan = interpolate_path_device(

@@ -46,7 +46,9 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
                   start_pos, goal_pos, *, inscribed_radius: float,
                   inflation_descending_rate: float,
                   lethal_pts=None, lethal_valid=None,
-                  warm_dist=None, warm_goal_idx=None) -> GlobalPathResult:
+                  warm_dist=None, warm_goal_idx=None,
+                  turn_pen=None, wf_az=None,
+                  wf_bins=None) -> GlobalPathResult:
     """Full jittable plan: snap → relax → extract. Reusable distance field
     comes back for DWA look-ahead replanning.
 
@@ -89,11 +91,11 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
             graph_idx, graph_dist, graph_valid, enter, avg_intensity,
             goal_idx, ground, cfg.turning_weight,
             n_dir_bins=cfg.turning_dir_bins, max_iters=cfg.max_relax_iters,
-            dist0=warm_dist)
+            dist0=warm_dist, az=wf_az, bin_of_edge=wf_bins)
         ids, valid, length, p_ok = extract_path_turning(
             graph_idx, graph_dist, graph_valid, enter, dist_gb, edge_bins,
             start_idx, goal_idx, ground, cfg.turning_weight,
-            max_len=cfg.max_path_len)
+            max_len=cfg.max_path_len, turn_pen=turn_pen)
         dist_to_goal = jnp.min(dist_gb, axis=1)
         dist_carry = dist_gb
     else:
