@@ -693,23 +693,32 @@ def bench_config3_real(ticks=20, reps=4, toggle_period=5):
 
 
 # ---------------------------------------------------------------------------
-# config 4: 64 robots, ONE shared map, the FULL fused vertical each —
-# every robot marks its own scan, replans over the shared ground graph,
-# and scores its own rollouts, in one vmapped program on one chip
+# config 4: 64 robots, ONE shared map, the FULL-FIDELITY per-robot stack —
+# MCL localization on drifting odometry (60 particles, reference noise
+# params) → mark/clear → turning-aware wavefront replan (w_turn 0.1, LOS
+# stage enabled) → decision FSM → generator selection (simple vs rotate-
+# shortest-angle) → rotate-in-place recovery — one vmapped program on one
+# chip. No canonical feature is zeroed out (the round-3 bench dropped the
+# turning term, the FSM, and localization for speed).
 # ---------------------------------------------------------------------------
 
-def bench_config4(robots=64, ticks=10, reps=4):
+def bench_config4(robots=64, ticks=10, reps=4, localize=True):
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from dddmr_navigation_tpu.config import (
         NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
-        PerceptionConfig, SpinningLidarConfig, GlobalPlannerConfig)
+        PerceptionConfig, SpinningLidarConfig, GlobalPlannerConfig,
+        MoveBaseConfig, MCLConfig)
     from dddmr_navigation_tpu.geometry import quat_from_yaw
     from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
     from dddmr_navigation_tpu.control.fused import (
-        build_fused_map, init_fused_state, make_fused_tick, fused_tick)
-    from dddmr_navigation_tpu.parallel.fleet import fused_fleet_tick
+        build_fused_map, make_fused_tick)
+    from dddmr_navigation_tpu.parallel.fleet import (
+        init_fleet_full_state, fleet_full_tick)
+    from dddmr_navigation_tpu.state_estimation.likelihood import (
+        build_submap_context)
 
     lidar = SpinningLidarConfig(
         scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
@@ -723,15 +732,30 @@ def bench_config4(robots=64, ticks=10, reps=4):
                 linear_x_sample=16, angular_z_sample=16, max_num_steps=40),
             max_obstacle_points=512, collision_obstacle_chunk=16,
             collision_near_k=128),
-        # turning_weight=0: the direction-expanded field would cost
-        # (B, G, K, bins) per relaxation across 64 robots; the plain
-        # (B, G, K) relaxation is the right fleet-scale tradeoff.
-        # max_long_edges=0: dense flat grid, no orphan jumps.
-        global_planner=GlobalPlannerConfig(turning_weight=0.0,
-                                           max_long_edges=0,
+        # canonical planner semantics: turning term ON (YAML
+        # turning_weight 0.1) with the LOS stage enabled
+        global_planner=GlobalPlannerConfig(turning_weight=0.1,
+                                           max_long_edges=256,
+                                           los_samples=8,
+                                           max_lethal_points=512,
                                            max_relax_iters=192))
+    mb = MoveBaseConfig()
+    mcl_cfg = MCLConfig(num_particles=60, init_var_x=0.3, init_var_y=0.3,
+                        init_var_z=0.1, init_var_yaw=0.1,
+                        field_sampling="nearest")
+
     ground = flat_ground_map(12, 8, 0.25)
-    fmap = build_fused_map(cfg, ground)
+    # warehouse perimeter — the structure MCL localizes against
+    walls = np.concatenate([
+        box_obstacle([-5.6, 0.0, 0.0], size=(0.3, 7.4, 1.2), resolution=0.15),
+        box_obstacle([5.6, 0.0, 0.0], size=(0.3, 7.4, 1.2), resolution=0.15),
+        box_obstacle([0.0, -3.6, 0.0], size=(11.0, 0.3, 1.2),
+                     resolution=0.15),
+        box_obstacle([0.0, 3.6, 0.0], size=(11.0, 0.3, 1.2),
+                     resolution=0.15),
+    ]).astype(np.float32)
+    fmap = build_fused_map(cfg, ground, walls)
+    submap = build_submap_context(walls, ground, mcl_cfg) if localize else None
     _, spec, ri_spec, params = make_fused_tick(cfg)
 
     b = robots
@@ -750,30 +774,45 @@ def bench_config4(robots=64, ticks=10, reps=4):
         rel = box - (positions[i] + [0, 0, 0.3])
         scans[i, :len(rel)] = rel[:n_pad]
         masks[i, :min(len(rel), n_pad)] = True
-    states = jax.tree_util.tree_map(
-        lambda *x: jnp.stack(x),
-        *[init_fused_state(cfg, len(ground), robot_xyz=positions[i])
-          for i in range(b)])
+    state0 = init_fleet_full_state(cfg, len(ground), positions, quats,
+                                   localize=localize, mcl_cfg=mcl_cfg)
     offset = jnp.asarray([0.0, 0.0, 0.3])
+    drift_dir = np.tile(np.array([[0.7, 0.7, 0.0]], np.float32), (b, 1))
+    wallsj = jnp.asarray(walls)
+    groundj = jnp.asarray(ground)
+
+    tick = partial(fleet_full_tick, cfg, mb, spec, ri_spec, params,
+                   mcl_cfg=(mcl_cfg if localize else None))
 
     @jax.jit
-    def run(fmap, states, scans, masks, pos, quat, goals):
-        def body(c, _):
-            s2, vx, wz, codes, ok = fused_fleet_tick(
-                cfg, spec, ri_spec, params, fmap, c, scans, masks, pos,
-                quat, offset, goals, jnp.full((b,), 0.2), jnp.zeros((b,)))
-            return s2, (vx, jnp.sum(ok.astype(jnp.int32)))
-        final, (vxs, oks) = jax.lax.scan(body, states, None, length=ticks)
-        return final.marking.dgraph, vxs, oks
+    def run(fmap, submap, states, scans, masks, goals):
+        def body(c, t):
+            now = t.astype(jnp.float32) * 0.1
+            drift = (0.01 * t.astype(jnp.float32))[None, None] \
+                * jnp.asarray(drift_dir)
+            s2, diag = tick(fmap, c, scans, masks, offset, goals, now,
+                            jnp.float32(0.1), submap_ctx=submap,
+                            odom_drift_pos=drift,
+                            odom_drift_yaw=jnp.zeros((b,)),
+                            feature_map_pts=wallsj,
+                            feature_ground_pts=groundj)
+            found = jnp.sum((diag["ps_simple"] == 4).astype(jnp.int32))
+            err = (jnp.max(diag["mcl_err"]) if localize
+                   else jnp.float32(0.0))
+            return s2, (diag["vx"][0] + found.astype(jnp.float32), found,
+                        diag["decision"], err)
+        final, (sync, found, decisions, errs) = jax.lax.scan(
+            body, states, jnp.arange(ticks))
+        return sync, found, decisions, errs
 
     def make_args():
-        return (fmap, states, jnp.asarray(scans), jnp.asarray(masks),
-                jnp.asarray(positions), jnp.asarray(quats),
+        return (fmap, submap, state0, jnp.asarray(scans), jnp.asarray(masks),
                 jnp.asarray(goals))
 
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
     best = min(per_tick)
     s_padded = cfg.local_planner.generator.n_samples_padded
+    decisions = _force(out[2])
     return {
         "tick_ms": 1e3 * best,
         "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
@@ -783,7 +822,16 @@ def bench_config4(robots=64, ticks=10, reps=4):
         # throughput framing: the reference runs ONE robot's vertical per
         # machine at 10 Hz; this chip sustains this many such robots
         "robots_at_10hz_per_chip": round(b / best / 10.0, 1),
-        "planned_last_tick": int(_force(out[2])[-1]),
+        "fidelity": ("mcl(60p, drifting odom) + mark/clear + turning "
+                     "wavefront(w=0.1) + LOS + FSM + rotate recovery"
+                     if localize else
+                     "mark/clear + turning wavefront(w=0.1) + LOS + FSM "
+                     "+ rotate recovery (ground-truth poses)"),
+        "found_last_tick": int(_force(out[1])[-1]),
+        "decisions_last_tick": {
+            int(k): int(v) for k, v in zip(
+                *np.unique(decisions[-1], return_counts=True))},
+        "mcl_err_last_tick": round(float(_force(out[3])[-1]), 3),
         "shared_map_nodes": len(ground),
         "compile_s": round(compile_s, 1),
     }

@@ -292,6 +292,10 @@ class MoveBaseConfig:
 class MCLConfig:
     """Reference `mcl_3dl` params."""
     num_particles: int = 60
+    # EDT sampling for the measurement model: "trilinear" (default,
+    # 8-corner interpolation) or "nearest" (1 gather — the fleet-scale
+    # speed/precision trade, see likelihood.sample_distance)
+    field_sampling: str = "trilinear"
     init_var_x: float = 2.0
     init_var_y: float = 2.0
     init_var_z: float = 0.5

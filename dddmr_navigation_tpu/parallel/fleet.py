@@ -172,3 +172,281 @@ def sharded_fused_fleet_tick(nav_cfg, spec, ri_spec, params, mesh: Mesh,
         out_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, rep),
         check_vma=False)
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# FULL-FIDELITY fleet vertical: per robot, ONE device program runs
+# localize (MCL on drifting odometry) → perceive (mark/clear) → replan
+# (turning-aware wavefront + LOS) → FSM (d_initial…d_succeed) → generator
+# selection (simple / rotate-shortest-angle) → rotate-in-place recovery —
+# the complete per-robot stack of the reference
+# (`p2p_move_base.cpp:265-658` + `mcl_3dl.cpp:143-234` +
+# `rotate_inplace_behavior.cpp:123-310`), vmapped over the fleet.
+# ---------------------------------------------------------------------------
+
+class FleetFullState(NamedTuple):
+    """Everything one robot carries tick→tick, batched on axis 0."""
+    fused: object            # FusedState (perception + warm wavefront)
+    fsm: object              # FSMState
+    recovery: object         # RotateRecoveryState
+    recovery_succeed: jnp.ndarray  # (B,) bool — last completed result
+    pos: jnp.ndarray         # (B, 3) TRUE pose (sim ground truth)
+    quat: jnp.ndarray        # (B, 4)
+    v: jnp.ndarray           # (B,)
+    w: jnp.ndarray           # (B,)
+    mcl: object              # MCLState or None (localization off)
+    odom_prev_pos: jnp.ndarray   # (B, 3) previous odom sample
+    odom_prev_quat: jnp.ndarray  # (B, 4)
+
+
+def init_fleet_full_state(nav_cfg, num_ground_nodes: int, positions, quats,
+                          localize: bool = False, mcl_cfg=None, seed: int = 0):
+    """Stack per-robot initial states. ``positions``/``quats`` are (B,3)/
+    (B,4) numpy arrays; with ``localize`` the MCL filters start at the
+    true poses (the localization demo then has to HOLD them against the
+    injected odometry drift)."""
+    import numpy as np
+    from dddmr_navigation_tpu.control.fused import init_fused_state
+    from dddmr_navigation_tpu.control.fsm import init_fsm_state
+    from dddmr_navigation_tpu.control.recovery import RotateRecoveryState
+    from dddmr_navigation_tpu.state_estimation.mcl import init_mcl
+
+    b = len(positions)
+    fused = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x),
+        *[init_fused_state(nav_cfg, num_ground_nodes, robot_xyz=positions[i])
+          for i in range(b)])
+    fsm = jax.tree_util.tree_map(
+        lambda *x: jnp.stack(x), *[init_fsm_state() for _ in range(b)])
+    rec = RotateRecoveryState(
+        start_yaw=jnp.zeros((b,)), got_180=jnp.zeros((b,), bool),
+        active=jnp.zeros((b,), bool))
+    mcl = None
+    if localize:
+        mcl = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x),
+            *[init_mcl(jax.random.PRNGKey(seed + i), mcl_cfg, positions[i],
+                       quats[i]) for i in range(b)])
+    pos = jnp.asarray(positions, jnp.float32)
+    quat = jnp.asarray(quats, jnp.float32)
+    return FleetFullState(
+        fused=fused, fsm=fsm, recovery=rec,
+        recovery_succeed=jnp.zeros((b,), bool),
+        pos=pos, quat=quat, v=jnp.zeros((b,)), w=jnp.zeros((b,)),
+        mcl=mcl, odom_prev_pos=pos, odom_prev_quat=quat)
+
+
+def device_features_from_map(map_pts, ground_pts, pose_pos, pose_quat,
+                             n_sharp: int = 512, n_flat: int = 256,
+                             radius: float = 8.0):
+    """Per-tick MCL feature clouds ON DEVICE: the nearest map points
+    (sharp/less-sharp analogue) and ground points (flat analogue) around
+    the TRUE pose, expressed in the robot base frame — the fleet bench's
+    stand-in for the lego-loam feature front-end
+    (`mcl_feature_node.cpp:15-35`), so localization consumes features
+    consistent with where the robot actually is while the filter itself
+    only sees the drifting odometry."""
+    from dddmr_navigation_tpu.geometry import quat_conjugate, quat_rotate
+
+    def pick(pts, n):
+        # deterministic pseudo-random subsample of ALL in-radius points
+        # (Knuth-hash order), NOT nearest-n: a nearest-n cloud collapses
+        # onto the closest wall face and loses the along-wall direction
+        # entirely (measured: the likelihood went flat in y and the
+        # filter random-walked away) — a real sweep sees structure all
+        # around, and so must its stand-in.
+        d2 = jnp.sum((pts - pose_pos) ** 2, axis=-1)
+        inr = d2 <= radius * radius
+        key = (jnp.arange(pts.shape[0], dtype=jnp.uint32)
+               * jnp.uint32(2654435761)) >> 12
+        key = jnp.where(inr, key.astype(jnp.int32), jnp.int32(2 ** 30))
+        k = min(n, pts.shape[0])
+        neg, idx = jax.lax.top_k(-key, k)
+        ok = -neg < 2 ** 30
+        sel = pts[idx]
+        rel = quat_rotate(quat_conjugate(pose_quat)[None, :],
+                          sel - pose_pos[None, :])
+        rel = jnp.where(ok[:, None], rel, 0.0)
+        if k < n:                       # pad to the static budget
+            rel = jnp.pad(rel, ((0, n - k), (0, 0)))
+            ok = jnp.pad(ok, (0, n - k))
+        return rel, ok
+
+    sharp, sharp_ok = pick(map_pts, n_sharp)
+    flat, flat_ok = pick(ground_pts, n_flat)
+    return flat, flat_ok, sharp, sharp_ok
+
+
+def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
+                    scans, scan_masks, sensor_offset, goals, now, dt,
+                    mcl_cfg=None, submap_ctx=None, odom_drift_pos=None,
+                    odom_drift_yaw=None, feature_map_pts=None,
+                    feature_ground_pts=None):
+    """One FULL per-robot vertical tick for the fleet (vmapped).
+
+    With ``mcl_cfg``/``submap_ctx`` given, each robot first runs its MCL
+    update against the drifting odometry (true pose ∘ drift) and PLANS
+    FROM THE ESTIMATE — map→localize→navigate per robot, the fleet
+    counterpart of `go2_localization`. Otherwise planning uses ground
+    truth (the round-3 config-4 behavior).
+
+    Returns (new_state, diag dict of (B,) arrays).
+    """
+    from dddmr_navigation_tpu.control.fused import fused_tick
+    from dddmr_navigation_tpu.control.fsm import (
+        FSMInputs, fsm_step, Decision, CmdSource)
+    from dddmr_navigation_tpu.control.recovery import (
+        rotate_recovery_step, start_rotate_recovery, RotateRecoveryState)
+    from dddmr_navigation_tpu.planning.local.planner import (
+        compute_velocity_command, initial_heading_deviation,
+        goal_heading_deviation, goal_reached)
+    from dddmr_navigation_tpu.state_estimation.mcl import mcl_update
+    from dddmr_navigation_tpu.geometry import (
+        yaw_from_quat, quat_from_yaw, quat_multiply)
+
+    lp_cfg = nav_cfg.local_planner
+    localize = mcl_cfg is not None and state.mcl is not None
+
+    def one(s, scan, smask, goal, drift_pos, drift_yaw):
+        # --- 1. localization (optional): odom = true ∘ drift -------------
+        if localize:
+            odom_pos = s.pos + drift_pos
+            odom_quat = quat_multiply(s.quat, quat_from_yaw(drift_yaw))
+            flat, flat_ok, sharp, sharp_ok = device_features_from_map(
+                feature_map_pts, feature_ground_pts, s.pos, s.quat)
+            mcl2, mout = mcl_update(
+                mcl_cfg, submap_ctx, s.mcl, s.odom_prev_pos,
+                s.odom_prev_quat, odom_pos, odom_quat, dt,
+                flat, flat_ok, sharp, sharp_ok,
+                jnp.ones(sharp.shape[0], jnp.float32))
+            plan_pos, plan_quat = mout.pose_pos, mout.pose_quat
+        else:
+            odom_pos, odom_quat = s.pos, s.quat
+            mcl2, mout = s.mcl, None
+            plan_pos, plan_quat = s.pos, s.quat
+
+        # --- 2. perceive → replan → rollouts (simple generator) ----------
+        fused2, out = fused_tick(
+            nav_cfg, spec, ri_spec, params, "differential_drive_simple",
+            fmap, s.fused, scan, smask, plan_pos, plan_quat, sensor_offset,
+            goal, s.v, s.w)
+
+        # --- 3. predicates + rotate-generator command --------------------
+        init_dev, init_aligned, _ = initial_heading_deviation(
+            lp_cfg, out.plan, plan_pos, plan_quat)
+        goal_dev, goal_aligned = goal_heading_deviation(
+            lp_cfg, out.plan, plan_quat)
+        hd = jnp.where(s.fsm.decision == Decision.D_ALIGN_GOAL_HEADING,
+                       goal_dev, init_dev)
+        cmd_rot = compute_velocity_command(
+            lp_cfg, out.plan, plan_pos, plan_quat, s.v, s.w, out.obs,
+            out.obs_mask, heading_deviation=hd,
+            generator="differential_drive_rotate_shortest_angle")
+        reached = goal_reached(lp_cfg, out.plan, plan_pos)
+
+        # --- 4. recovery progress (before the FSM reads it) --------------
+        was_active = s.recovery.active
+        rec_step, wz_rec, rec_done, rec_failed = rotate_recovery_step(
+            lp_cfg, s.recovery, plan_pos, plan_quat, out.obs, out.obs_mask)
+        rec2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(was_active, a, b), rec_step, s.recovery)
+        rec_succeed = jnp.where(
+            was_active & rec_done, True,
+            jnp.where(was_active & rec_failed, False, s.recovery_succeed))
+        rec_active = was_active & (~rec_done) & (~rec_failed)
+
+        # --- 5. decision FSM (`p2p_fsm.cpp` semantics) --------------------
+        # has_new_plan is True: the fused vertical replans every tick (the
+        # device-resident analogue of the 5 Hz GPM query loop).
+        x = FSMInputs(
+            now=now, robot_pos=plan_pos, robot_yaw=yaw_from_quat(plan_quat),
+            has_new_plan=jnp.asarray(True), plan_empty=~out.plan_ok,
+            goal_reached=reached, initial_heading_aligned=init_aligned,
+            goal_heading_aligned=goal_aligned, ps_simple=out.state,
+            ps_rotate=cmd_rot.state, recovery_active=rec_active,
+            recovery_succeed=rec_succeed)
+        fsm2, fout = fsm_step(mb_cfg, s.fsm, x)
+
+        # start a recovery the FSM just requested
+        fresh = start_rotate_recovery(plan_quat)
+        start_now = fout.request_recovery & (~rec_active)
+        rec3 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(start_now, a, b), fresh, rec2)
+
+        # --- 6. command mux (generator selection per FSM state) ----------
+        vx = jnp.where(fout.cmd_source == CmdSource.SIMPLE, out.vx,
+                       jnp.where(fout.cmd_source == CmdSource.ROTATE,
+                                 cmd_rot.vx, 0.0))
+        wz = jnp.where(fout.cmd_source == CmdSource.SIMPLE, out.wz,
+                       jnp.where(fout.cmd_source == CmdSource.ROTATE,
+                                 cmd_rot.wz, 0.0))
+        # an active recovery owns cmd_vel (`recovery_behaviors_ros.cpp`)
+        vx = jnp.where(rec_active, 0.0, vx)
+        wz = jnp.where(rec_active, wz_rec, wz)
+
+        # --- 7. integrate the TRUE pose with the commanded twist ---------
+        yaw = yaw_from_quat(s.quat)
+        pos2 = s.pos + jnp.stack([vx * jnp.cos(yaw) * dt,
+                                  vx * jnp.sin(yaw) * dt,
+                                  jnp.zeros_like(vx)])
+        quat2 = quat_multiply(s.quat, quat_from_yaw(wz * dt))
+
+        s2 = FleetFullState(
+            fused=fused2, fsm=fsm2, recovery=rec3,
+            recovery_succeed=rec_succeed, pos=pos2, quat=quat2, v=vx, w=wz,
+            mcl=mcl2, odom_prev_pos=odom_pos, odom_prev_quat=odom_quat)
+        diag = {
+            "vx": vx, "wz": wz, "decision": fsm2.decision,
+            "cmd_source": fout.cmd_source, "ps_simple": out.state,
+            "ps_rotate": cmd_rot.state, "plan_ok": out.plan_ok,
+            "recovery_active": rec_active, "recovery_succeed": rec_succeed,
+            "wf_iters": out.wf_iters,
+            "init_aligned": init_aligned, "goal_aligned": goal_aligned,
+            "goal_reached": reached, "plan_empty": ~out.plan_ok,
+            "plan_pos": plan_pos, "plan_yaw": yaw_from_quat(plan_quat),
+        }
+        if localize:
+            diag["mcl_err"] = jnp.linalg.norm(mout.pose_pos - s.pos)
+            diag["match_ratio"] = mout.match_ratio_max
+        return s2, diag
+
+    b = state.pos.shape[0]
+    if odom_drift_pos is None:
+        odom_drift_pos = jnp.zeros((b, 3))
+    if odom_drift_yaw is None:
+        odom_drift_yaw = jnp.zeros((b,))
+    return jax.vmap(one)(state, scans, scan_masks, goals,
+                         odom_drift_pos, odom_drift_yaw)
+
+
+def sharded_fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params,
+                            mesh: Mesh, axis: str = "scenarios",
+                            mcl_cfg=None, localize: bool = False):
+    """Jitted full-vertical fleet tick with robots sharded over the mesh,
+    the map/submap context replicated, and a psum'd fleet-health scalar
+    (robots currently holding TRAJECTORY_FOUND) riding the mesh axis."""
+    from jax import shard_map
+
+    def tick(fmap, submap_ctx, feat_map, feat_ground, state, scans,
+             scan_masks, sensor_offset, goals, now, dt, drift_pos,
+             drift_yaw):
+        s2, diag = fleet_full_tick(
+            nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state, scans,
+            scan_masks, sensor_offset, goals, now, dt,
+            mcl_cfg=mcl_cfg if localize else None,
+            submap_ctx=submap_ctx, odom_drift_pos=drift_pos,
+            odom_drift_yaw=drift_yaw, feature_map_pts=feat_map,
+            feature_ground_pts=feat_ground)
+        found = jnp.sum((diag["ps_simple"] == 4).astype(jnp.float32))
+        total = jax.lax.psum(found, axis)
+        return s2, diag, total
+
+    sp = P(axis)
+    rep = P()
+    sharded = shard_map(
+        tick, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, sp, sp, sp, rep, sp, rep, rep, sp,
+                  sp),
+        out_specs=(sp, sp, rep),
+        check_vma=False)
+    return jax.jit(sharded)

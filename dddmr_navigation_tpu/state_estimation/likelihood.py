@@ -73,13 +73,28 @@ def build_distance_field(points: np.ndarray, res: float, pad: float,
                          res=float(res))
 
 
-def sample_distance(field: DistanceField, pts):
-    """Trilinear sample of the EDT at world points (..., 3). Outside the
-    grid the clamped border value plus the out-of-bounds offset is
-    returned (distance lower bound, monotone — far points score 0)."""
+def sample_distance(field: DistanceField, pts, method: str = "trilinear"):
+    """Sample the EDT at world points (..., 3). Outside the grid the
+    clamped border value plus the out-of-bounds offset is returned
+    (distance lower bound, monotone — far points score 0).
+
+    ``method='nearest'`` reads ONE cell instead of eight: TPU gathers
+    cost ~10 ns/element, and at fleet scale (64 robots × 60 particles ×
+    hundreds of features) the eight trilinear corner gathers are the
+    dominant cost of the whole MCL stage (measured ~0.24 s/tick). The
+    nearest read quantizes distances to ±res/2 (0.075 m at the default
+    0.15 m raster) — inside the quadratic score with a 0.3 m match gate
+    this adds noise comparable to the sensor model's own, a documented
+    speed/precision trade for large fleets."""
     g = (pts - field.origin) / field.res
     dims = jnp.asarray(field.dist.shape, jnp.float32)
     gc = jnp.clip(g, 0.0, dims - 1.0 - 1e-4)
+    if method == "nearest":
+        i = jnp.round(gc).astype(jnp.int32)
+        i = jnp.minimum(i, jnp.asarray(field.dist.shape, jnp.int32) - 1)
+        d = field.dist[i[..., 0], i[..., 1], i[..., 2]]
+        oob = jnp.linalg.norm((g - gc) * field.res, axis=-1)
+        return d + oob
     i0 = jnp.floor(gc).astype(jnp.int32)
     f = gc - i0.astype(jnp.float32)
 
@@ -203,15 +218,16 @@ def measure_likelihood(ctx: SubmapContext, cfg: MCLConfig,
     sp = quat_rotate(quat[None, :], sharp_pts) + pos[None, :]
 
     pos_w, trusted = _pos_weight(ctx, cfg, pos, quat)
+    method = getattr(cfg, "field_sampling", "trilinear")
 
-    d_flat_g = sample_distance(ctx.ground_field, fp)
-    d_flat_m = sample_distance(ctx.map_field, fp)
+    d_flat_g = sample_distance(ctx.ground_field, fp, method)
+    d_flat_m = sample_distance(ctx.map_field, fp, method)
     d_flat = jnp.where(trusted, d_flat_g, d_flat_m)
     matched_f = flat_mask & (d_flat <= cfg.match_dist_min)
     sc_f = cfg.match_dist_min - jnp.maximum(d_flat, cfg.match_dist_flat)
     sc_f = jnp.where(matched_f & (sc_f >= 0.0), sc_f * sc_f, 0.0)
 
-    d_sharp = sample_distance(ctx.map_field, sp)
+    d_sharp = sample_distance(ctx.map_field, sp, method)
     matched_s = sharp_mask & (d_sharp <= cfg.match_dist_min)
     sc_s = cfg.match_dist_min - jnp.maximum(d_sharp, cfg.match_dist_flat)
     sc_s = jnp.where(matched_s & (sc_s >= 0.0),
