@@ -915,13 +915,21 @@ tick = sharded_fleet_tick(cfg, mesh)
 args = shard_fleet_arrays(mesh, (plans, state, obstacles, obs_valid))
 out = tick(*args)
 _ = np.asarray(out[3])
+# warmup isolation: 3 discarded runs after compile, then 15 measured
+for _i in range(3):
+    out = tick(*args)
+    _ = np.asarray(out[3])
 times = []
-for _i in range(6):
+for _i in range(15):
     t0 = time.perf_counter()
     out = tick(*args)
     _ = np.asarray(out[3])
     times.append(time.perf_counter() - t0)
-print(json.dumps({{"ndev": ndev, "robots": b, "tick_s": min(times)}}))
+times = sorted(times)
+med = times[len(times)//2]
+print(json.dumps({{"ndev": ndev, "robots": b, "tick_s": med,
+                   "tick_s_min": times[0], "tick_s_max": times[-1],
+                   "iqr": times[3*len(times)//4] - times[len(times)//4]}}))
 """
 
 
@@ -963,16 +971,34 @@ def bench_virtual_mesh_scaling(b_total=64):
     t2 = results[2]["tick_s"]
     t8 = results[8]["tick_s"]
     cores = os.cpu_count() or 1
+
+    def eff(tn):
+        # median-of-15 with warmup isolation; the raw ratio can still
+        # exceed 1 within measurement spread (round-3 review: an
+        # efficiency above its own ceiling means the baseline is noise-
+        # limited, and must not be reported as a result) — report the
+        # ceiling-capped value alongside the raw ratio and the spread.
+        raw = t1 / tn
+        return {"capped": round(min(1.0, raw), 3), "raw": round(raw, 3)}
+
     return {
         "substrate": f"virtual CPU mesh ({cores} physical cores)",
-        "metric": "equal-work sharding efficiency, ceiling 1.0",
+        "metric": ("equal-work sharding efficiency, ceiling 1.0 "
+                   "(median of 15, 3 warmups discarded)"),
         "total_robots": b_total,
         "tick_s_1dev": round(t1, 4),
         "tick_s_2dev": round(t2, 4),
         "tick_s_8dev": round(t8, 4),
-        "sharding_efficiency_2dev": round(t1 / t2, 3),
-        "sharding_efficiency_8dev": round(t1 / t8, 3),
+        "iqr_s": {n: round(results[n]["iqr"], 4) for n in (1, 2, 8)},
+        "sharding_efficiency_2dev": eff(t2)["capped"],
+        "sharding_efficiency_8dev": eff(t8)["capped"],
+        "raw_ratio_2dev": eff(t2)["raw"],
+        "raw_ratio_8dev": eff(t8)["raw"],
         "target": 0.8,
+        "caveat": ("virtual mesh on a shared 2-core box: ratios near 1.0 "
+                   "show the sharded program adds no measurable partition/"
+                   "collective overhead; true multi-chip ≥80% remains "
+                   "hardware-unverifiable on this rig"),
     }
 
 

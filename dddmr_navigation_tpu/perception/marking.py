@@ -102,6 +102,12 @@ class MarkingState(NamedTuple):
     grid: jnp.ndarray     # (Nx,Ny,Nz) uint8 marked obstacle cells
     origin: jnp.ndarray   # (3,) int32 window origin in global voxel coords
     dgraph: jnp.ndarray   # (G,) f32 distance-to-obstacle per ground node
+    # rotating start of the clear-test extraction window: advancing by
+    # max_marked_voxels per tick guarantees every marked cell is
+    # clear-tested within ceil(n_cells / max_marked_voxels) ticks even
+    # when the marked set exceeds the extraction cap (round-2 advisor
+    # finding: a fixed linear-order window could starve late cells).
+    clear_offset: jnp.ndarray  # () int32
 
 
 def init_marking_state(spec: VoxelSpec, params: MarkingParams,
@@ -113,6 +119,7 @@ def init_marking_state(spec: VoxelSpec, params: MarkingParams,
         origin=window_origin_for(spec, robot_xyz),
         dgraph=jnp.full((num_ground_nodes,), params.max_obstacle_distance,
                         jnp.float32),
+        clear_offset=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -128,7 +135,8 @@ def _window_cell_positions(spec: VoxelSpec, origin):
 
 def clear_marked(spec: VoxelSpec, ri_spec: RangeImageSpec,
                  params: MarkingParams, grid, origin,
-                 sensor_pos, sensor_quat, scan_pts, scan_mask):
+                 sensor_pos, sensor_quat, scan_pts, scan_mask,
+                 clear_offset=0):
     """Range-image clearing of the marked grid (selfClear semantics).
 
     A marked cell is kept when (a) it is outside the sensor FOV, (b) the
@@ -143,11 +151,12 @@ def clear_marked(spec: VoxelSpec, ri_spec: RangeImageSpec,
     of TPU gather/transcendental time per tick (measured), vs ~1 ms for
     the extracted set. The 3×3-bin neighborhood lookup is folded into one
     min-pool of the (rows, cols) range image (identical result). Cells
-    beyond the extraction cap are not clear-tested; because the extraction
-    order is deterministic (linear index), they stay marked until
-    earlier-indexed marks clear and they enter the window — a conservative
-    (never wrongly clears) overflow mode; size ``max_marked_voxels`` so
-    live scenes stay under the cap.
+    beyond the extraction cap are not clear-tested THIS tick, but the
+    window starts at ``clear_offset`` (wrapping), which
+    `perception_update` advances by the cap every tick — every marked
+    cell is therefore tested within ceil(n_cells / cap) ticks no matter
+    how many cells are marked (conservative in between: overflow cells
+    stay marked, never wrongly cleared).
     """
     n_valid = jnp.sum(scan_mask)
     img = build_range_image(ri_spec, sensor_pos, sensor_quat, scan_pts, scan_mask)
@@ -162,8 +171,11 @@ def clear_marked(spec: VoxelSpec, ri_spec: RangeImageSpec,
 
     flat = grid.reshape(-1).astype(bool)
     k = params.max_marked_voxels
-    idx = first_k_true_indices(flat, k)
-    valid = idx >= 0
+    n_cells = flat.shape[0]
+    off = jnp.asarray(clear_offset, jnp.int32) % n_cells
+    idx_rot = first_k_true_indices(jnp.roll(flat, -off), k)
+    valid = idx_rot >= 0
+    idx = jnp.where(valid, (idx_rot + off) % n_cells, -1)
     safe = jnp.maximum(idx, 0)
     iz = safe % spec.nz
     iy = (safe // spec.nz) % spec.ny
@@ -314,9 +326,14 @@ def perception_update(spec: VoxelSpec, ri_spec: RangeImageSpec,
     new_origin = window_origin_for(spec, robot_pos)
     grid = scroll_grid(state.grid, state.origin, new_origin)
     grid = clear_marked(spec, ri_spec, params, grid, new_origin,
-                        sensor_pos, sensor_quat, scan_pts, scan_mask)
+                        sensor_pos, sensor_quat, scan_pts, scan_mask,
+                        clear_offset=state.clear_offset)
     grid = mark_scan(spec, params, grid, new_origin, map_ctx, scan_pts,
                      scan_mask, robot_pos, robot_quat, sensor_pos, sensor_quat)
     dgraph = update_dgraph(spec, params, grid, new_origin, state.dgraph,
                            map_ctx, robot_pos, robot_quat)
-    return MarkingState(grid=grid, origin=new_origin, dgraph=dgraph)
+    n_cells = spec.nx * spec.ny * spec.nz
+    return MarkingState(
+        grid=grid, origin=new_origin, dgraph=dgraph,
+        clear_offset=(state.clear_offset + params.max_marked_voxels)
+        % n_cells)

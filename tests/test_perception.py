@@ -267,3 +267,103 @@ def test_perception_update_vmaps_over_robots(map_ctx):
                                       np.asarray(seq.grid))
         np.testing.assert_allclose(np.asarray(batched.dgraph[i]),
                                    np.asarray(seq.dgraph), rtol=1e-5)
+
+
+class TestClearWindowRotation:
+    """Round-3 review item 9: marked cells beyond the max_marked_voxels
+    extraction cap must be clear-tested within a bounded number of ticks
+    even when the first-extracted cells never clear (out of FOV). The
+    extraction window now starts at MarkingState.clear_offset, advanced
+    by the cap every tick."""
+
+    def _setup(self):
+        from dddmr_navigation_tpu.perception.voxel import VoxelSpec
+        from dddmr_navigation_tpu.perception.fov import RangeImageSpec
+        from dddmr_navigation_tpu.perception.marking import MarkingParams
+        spec = VoxelSpec(nx=8, ny=8, nz=4, xy_resolution=0.2,
+                         height_resolution=0.2)
+        ri = RangeImageSpec(rows=16, cols=128, elev_min_deg=-15.0,
+                            elev_max_deg=15.0)
+        params = MarkingParams(
+            scan_effective_positive_start=0.0,
+            scan_effective_negative_start=0.0,
+            max_marked_voxels=8)
+        # sensor at the iz=2 plane (window z is robot-centered: iz=2 ⇒
+        # z=0.0): iz=0 cells (z=-0.4) sit BELOW the -15° vertical FOV at
+        # every in-window dxy ⇒ never clear-tested positive; iz=2 cells
+        # at sensor height are in-FOV
+        sensor = jnp.asarray([0.0, 0.0, 0.0])
+        return spec, ri, params, sensor
+
+    def _marked_grid(self, spec):
+        grid = np.zeros((spec.nx, spec.ny, spec.nz), np.uint8)
+        sticky, observable = [], []
+        for ix in (0, 1):
+            for iy in range(4):
+                grid[ix, iy, 0] = 1          # lowest linear indices
+                sticky.append((ix, iy, 0))
+        for ix in (6, 7):
+            for iy in range(8):
+                grid[ix, iy, 2] = 1          # beyond the 8-cell cap
+                observable.append((ix, iy, 2))
+        return grid, sticky, observable
+
+    def _scan(self):
+        ang = np.linspace(-np.pi, np.pi, 128, endpoint=False)
+        pts = np.stack([5.0 * np.cos(ang), 5.0 * np.sin(ang),
+                        np.zeros_like(ang)], 1).astype(np.float32)
+        return jnp.asarray(pts), jnp.ones((len(ang),), bool)
+
+    def test_fixed_window_starves_rotating_does_not(self):
+        from dddmr_navigation_tpu.perception.marking import clear_marked
+        from dddmr_navigation_tpu.perception.voxel import window_origin_for
+        spec, ri, params, sensor = self._setup()
+        grid0, sticky, observable = self._marked_grid(spec)
+        origin = window_origin_for(spec, jnp.zeros(3))
+        scan, smask = self._scan()
+        q = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+        n_cells = spec.nx * spec.ny * spec.nz
+
+        step = jax.jit(lambda g, off: clear_marked(
+            spec, ri, params, g, origin, sensor, q, scan, smask,
+            clear_offset=off))
+
+        # fixed window (the old behavior): the 8 sticky cells fill every
+        # extraction slot forever and the observable cells starve
+        g = jnp.asarray(grid0)
+        for _ in range(12):
+            g = step(g, jnp.asarray(0, jnp.int32))
+        g_np = np.asarray(g)
+        assert all(g_np[c] for c in sticky)
+        assert all(g_np[c] for c in observable), \
+            "precondition broken: fixed window should starve these"
+
+        # rotating window: every cell is tested within n_cells/cap ticks
+        g = jnp.asarray(grid0)
+        off = jnp.asarray(0, jnp.int32)
+        ticks_needed = -(-n_cells // params.max_marked_voxels) + 1
+        for _ in range(ticks_needed):
+            g = step(g, off)
+            off = (off + params.max_marked_voxels) % n_cells
+        g_np = np.asarray(g)
+        assert all(g_np[c] for c in sticky), "out-of-FOV cells must stay"
+        assert not any(g_np[c] for c in observable), \
+            "observable over-cap cells must clear once the window reaches them"
+
+    def test_perception_update_advances_offset(self):
+        from dddmr_navigation_tpu.perception.marking import (
+            MarkingParams, init_marking_state, perception_update)
+        from dddmr_navigation_tpu.perception.static_map import (
+            build_map_context)
+        spec, ri, params, sensor = self._setup()
+        ground = flat_ground_map(2, 2, 0.25)
+        ctx = build_map_context(ground)
+        st = init_marking_state(spec, params, len(ground))
+        scan, smask = self._scan()
+        q = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+        st2 = perception_update(spec, ri, params, st, ctx, scan, smask,
+                                jnp.zeros(3), q, sensor, q)
+        assert int(st2.clear_offset) == params.max_marked_voxels
+        st3 = perception_update(spec, ri, params, st2, ctx, scan, smask,
+                                jnp.zeros(3), q, sensor, q)
+        assert int(st3.clear_offset) == 2 * params.max_marked_voxels
