@@ -75,6 +75,10 @@ class FusedState(NamedTuple):
     # re-converge in O(field-change) iterations.
     wf_dist: jnp.ndarray
     wf_goal_idx: jnp.ndarray
+    # Depth-camera layer (None unless the tick was built with cameras):
+    # its own marking grid/dGraph + the N-deep per-camera frustum ring.
+    depth_marking: object
+    depth_buffer: object
 
 
 class FusedOut(NamedTuple):
@@ -169,7 +173,9 @@ def _los_relevant_mask(ground: np.ndarray, graph,
 
 
 def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
-                     robot_xyz=None) -> FusedState:
+                     robot_xyz=None, depth_cameras: int = 0,
+                     depth_buffer_depth: int = 3,
+                     depth_max_points: int = 512) -> FusedState:
     p = cfg.perception
     params = MarkingParams.from_config(p)
     spec = VoxelSpec(
@@ -179,10 +185,19 @@ def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
     gp = cfg.global_planner
     wf_shape = ((num_ground_nodes, gp.turning_dir_bins)
                 if gp.turning_weight > 0.0 else (num_ground_nodes,))
+    depth_marking = depth_buffer = None
+    if depth_cameras > 0:
+        from dddmr_navigation_tpu.perception.depth_camera import (
+            init_depth_buffer)
+        depth_marking = init_marking_state(spec, params, num_ground_nodes,
+                                           robot_xyz)
+        depth_buffer = init_depth_buffer(depth_cameras, depth_buffer_depth,
+                                         depth_max_points)
     return FusedState(
         marking=init_marking_state(spec, params, num_ground_nodes, robot_xyz),
         wf_dist=jnp.full(wf_shape, jnp.inf, jnp.float32),
-        wf_goal_idx=jnp.asarray(-1, jnp.int32))
+        wf_goal_idx=jnp.asarray(-1, jnp.int32),
+        depth_marking=depth_marking, depth_buffer=depth_buffer)
 
 
 def device_observation(scan_pts, scan_mask, k: int, leaf: float = 0.1):
@@ -278,12 +293,24 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
                generator: str, fmap: FusedMap, state: FusedState,
                scan_sensor, scan_mask, robot_pos, robot_quat,
                sensor_offset, goal_pos, v_now, w_now,
-               allowed_max_speed=-1.0):
+               allowed_max_speed=-1.0, depth_cam=None,
+               depth_frames=None, now=0.0,
+               depth_keep_time: float = 0.5):
     """One full vertical tick on device. ``scan_sensor`` is the live sweep
     in the SENSOR frame (rotated to global inside the program).
 
-    Static args: nav_cfg/spec/ri_spec/params/generator — jit with
+    Static args: nav_cfg/spec/ri_spec/params/generator (+ depth_cam /
+    depth_keep_time when cameras are attached) — jit with
     ``static_argnums=(0, 1, 2, 3, 4)`` or use :func:`make_fused_tick`.
+
+    Depth cameras: with ``depth_cam`` (a CameraModel) and a state built
+    with ``depth_cameras > 0``, pass this tick's frames as a pytree of
+    (cam_pos (C,3), cam_quat (C,4), points (C,P,3) world, mask (C,P));
+    the DepthCameraLayer stage (buffer → frustum clear vs ALL live →
+    mark latest → layer dGraph) runs inside the same program, its field
+    min-composes into the stacked dGraph
+    (`perception_3d_ros.cpp:220-249`), and its latest points join the
+    aggregated observation the critics see.
     """
     p = nav_cfg.perception
     sensor_pos = robot_pos + quat_rotate(robot_quat, sensor_offset)
@@ -295,9 +322,28 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
         spec, ri_spec, params, state.marking, fmap.map_ctx, scan_global,
         scan_mask, robot_pos, robot_quat, sensor_pos, robot_quat)
 
+    # 1b. depth-camera layer (its own grid/dGraph, like every reference
+    # plugin), fused into the same program
+    depth_marking, depth_buffer = state.depth_marking, state.depth_buffer
+    depth_latest = None
+    if depth_marking is not None and depth_frames is not None:
+        from dddmr_navigation_tpu.perception.depth_camera import (
+            push_observation, depth_layer_update)
+        cam_pos, cam_quat, dpts, dmask = depth_frames
+        for c in range(cam_pos.shape[0]):
+            depth_buffer = push_observation(
+                depth_buffer, c, cam_pos[c], cam_quat[c], dpts[c],
+                dmask[c], jnp.asarray(now, jnp.float32))
+        depth_marking, depth_latest = depth_layer_update(
+            spec, params, depth_cam, depth_marking, depth_buffer,
+            jnp.asarray(now, jnp.float32), depth_keep_time, fmap.map_ctx,
+            robot_pos, robot_quat)
+
     # 2. stacked composition + lethal aggregation (skipped when the LOS
     # stage is disabled — its only consumer, see plan_on_graph)
     composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
+    if depth_marking is not None and depth_frames is not None:
+        composed = min_dgraph(composed, depth_marking.dgraph)
     if nav_cfg.global_planner.max_long_edges > 0:
         # Only nodes near a long edge can affect an LOS verdict — the
         # static los_relevant mask keeps the extraction budget tight on
@@ -325,9 +371,17 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     plan = interpolate_path_device(
         fmap.ground, res, max_plan_len=nav_cfg.local_planner.max_plan_len)
 
-    # 5. observation from THIS scan; 6. prune → rollouts → critics → argmin
+    # 5. observation from THIS scan (+ the latest depth points — the
+    # aggregated observation, `stacked_perception.cpp:128-140`);
+    # 6. prune → rollouts → critics → argmin
+    agg_pts, agg_mask = scan_global, scan_mask
+    if depth_latest is not None:
+        agg_pts = jnp.concatenate(
+            [agg_pts, depth_latest.points.reshape(-1, 3)], axis=0)
+        agg_mask = jnp.concatenate(
+            [agg_mask, depth_latest.mask.reshape(-1)], axis=0)
     obs, obs_mask = device_observation(
-        scan_global, scan_mask, nav_cfg.local_planner.max_obstacle_points)
+        agg_pts, agg_mask, nav_cfg.local_planner.max_obstacle_points)
     cmd = compute_velocity_command(
         nav_cfg.local_planner, plan, robot_pos, robot_quat, v_now, w_now,
         obs, obs_mask, allowed_max_speed=allowed_max_speed,
@@ -338,14 +392,19 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
                    composed_dgraph=composed, obs=obs, obs_mask=obs_mask,
                    wf_iters=res.iters)
     return FusedState(marking=marking, wf_dist=res.dist_carry,
-                      wf_goal_idx=res.goal_idx), out
+                      wf_goal_idx=res.goal_idx,
+                      depth_marking=depth_marking,
+                      depth_buffer=depth_buffer), out
 
 
 def make_fused_tick(nav_cfg: NavigationConfig,
-                    generator: str = "differential_drive_simple"):
+                    generator: str = "differential_drive_simple",
+                    depth_cam=None, depth_keep_time: float = 0.5):
     """Returns (jitted_tick, spec, ri_spec, params); the callable signature
     is ``tick(fmap, state, scan_sensor, scan_mask, robot_pos, robot_quat,
-    sensor_offset, goal_pos, v_now, w_now)``."""
+    sensor_offset, goal_pos, v_now, w_now[, depth_frames=..., now=...])``.
+    Pass ``depth_cam`` (CameraModel) to enable the fused depth-camera
+    stage (state must be built with ``depth_cameras > 0``)."""
     p = nav_cfg.perception
     params = MarkingParams.from_config(p)
     spec = VoxelSpec(
@@ -357,5 +416,6 @@ def make_fused_tick(nav_cfg: NavigationConfig,
         elev_min_deg=p.lidar.vertical_FOV_bottom,
         elev_max_deg=p.lidar.vertical_FOV_top)
     fn = jax.jit(partial(fused_tick, nav_cfg, spec, ri_spec, params,
-                         generator))
+                         generator, depth_cam=depth_cam,
+                         depth_keep_time=depth_keep_time))
     return fn, spec, ri_spec, params

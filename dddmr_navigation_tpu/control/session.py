@@ -43,9 +43,7 @@ from dddmr_navigation_tpu.perception.marking import (
 from dddmr_navigation_tpu.perception.layers import (
     min_dgraph, no_entry_dgraph, speed_limit_at)
 from dddmr_navigation_tpu.perception.depth_camera import (
-    CameraModel, init_depth_buffer, push_observation,
-    buffer_as_observations, clear_with_frustums, mark_depth_points)
-from dddmr_navigation_tpu.perception.marking import update_dgraph
+    CameraModel, init_depth_buffer, push_observation)
 from dddmr_navigation_tpu.planning.global_.los import lethal_cloud_from_dgraph
 from dddmr_navigation_tpu.control.move_base import MoveBaseDriver
 from dddmr_navigation_tpu.runtime.watchdog import FreshnessGate
@@ -149,21 +147,20 @@ class NavigationSession:
             self._jit_depth = jax.jit(self._depth_update_impl)
 
     # ------------------------------------------------------------------
-    def _depth_update_impl(self, marking, latest_obs, all_obs, all_live,
-                           robot_pos, robot_quat, map_ctx):
-        """Depth layer tick: clear vs ALL live buffered frustums
+    def _depth_update_impl(self, marking, buf, now, robot_pos, robot_quat,
+                           map_ctx):
+        """Depth layer tick — the shared `depth_layer_update` (also the
+        fused program's depth stage): clear vs ALL live buffered frustums
         (`depth_camera_layer.cpp:226-456`), mark from the LATEST
         observations only, recompute the layer dGraph. ``map_ctx`` is an
         argument (not a closure constant) so the big map arrays don't ride
         every dispatch."""
-        grid = clear_with_frustums(self.spec, self.depth_cam, marking.grid,
-                                   marking.origin, all_obs, live=all_live)
-        grid = mark_depth_points(self.spec, grid, marking.origin, latest_obs,
-                                 robot_pos[2], self.params.marking_height)
-        dgraph = update_dgraph(self.spec, self.params, grid, marking.origin,
-                               marking.dgraph, map_ctx, robot_pos,
-                               robot_quat)
-        return marking._replace(grid=grid, dgraph=dgraph)
+        from dddmr_navigation_tpu.perception.depth_camera import (
+            depth_layer_update)
+        marking2, _latest = depth_layer_update(
+            self.spec, self.params, self.depth_cam, marking, buf, now,
+            self.depth_keep_time, map_ctx, robot_pos, robot_quat)
+        return marking2
 
     def push_depth_observation(self, cam_idx: int, cam_pos, cam_quat,
                                points, now):
@@ -180,24 +177,9 @@ class NavigationSession:
             jnp.asarray(mask), jnp.asarray(now, jnp.float32))
 
     def _depth_tick(self, robot_pos, robot_quat, now):
-        from dddmr_navigation_tpu.perception.depth_camera import (
-            DepthCameraObservation, live_observations)
-        all_obs, all_live = buffer_as_observations(
-            self.depth_buffer, now, self.depth_keep_time)
-        # latest live slot per camera = the most recent stamp
-        buf = self.depth_buffer
-        live = live_observations(buf, now, self.depth_keep_time)
-        stamp = jnp.where(live, buf.stamp, -jnp.inf)
-        newest = jnp.argmax(stamp, axis=1)                     # (C,)
-        cams = jnp.arange(buf.stamp.shape[0])
-        latest = DepthCameraObservation(
-            cam_pos=buf.cam_pos[cams, newest],
-            cam_quat=buf.cam_quat[cams, newest],
-            points=buf.points[cams, newest],
-            mask=buf.mask[cams, newest]
-            & jnp.any(live, axis=1)[:, None])
         self.depth_marking = self._jit_depth(
-            self.depth_marking, latest, all_obs, all_live,
+            self.depth_marking, self.depth_buffer,
+            jnp.asarray(now, jnp.float32),
             jnp.asarray(robot_pos, jnp.float32),
             jnp.asarray(robot_quat, jnp.float32), self.map_ctx)
 

@@ -170,6 +170,46 @@ def buffer_as_observations(buf: DepthCameraBuffer, now, keep_time: float):
     return obs, live.reshape(c * n)
 
 
+def latest_live_observations(buf: DepthCameraBuffer, now, keep_time: float
+                             ) -> DepthCameraObservation:
+    """The most recent LIVE slot per camera (marking uses only the
+    freshest frame; clearing uses every live frustum). Cameras with no
+    live slot come back fully masked."""
+    live = live_observations(buf, now, keep_time)       # (C, N)
+    stamp = jnp.where(live, buf.stamp, -jnp.inf)
+    newest = jnp.argmax(stamp, axis=1)                  # (C,)
+    cams = jnp.arange(buf.stamp.shape[0])
+    return DepthCameraObservation(
+        cam_pos=buf.cam_pos[cams, newest],
+        cam_quat=buf.cam_quat[cams, newest],
+        points=buf.points[cams, newest],
+        mask=buf.mask[cams, newest] & jnp.any(live, axis=1)[:, None])
+
+
+def depth_layer_update(spec: VoxelSpec, params, cam: CameraModel, marking,
+                       buf: DepthCameraBuffer, now, keep_time: float,
+                       map_ctx, robot_pos, robot_quat):
+    """One DepthCameraLayer tick on its own marking grid
+    (`depth_camera_layer.cpp:226-620`): clear marked voxels against ALL
+    live buffered frustums, mark from the LATEST observation per camera,
+    recompute the layer dGraph. Shared by the host session and the fused
+    device program. Returns the updated MarkingState-like pytree."""
+    from dddmr_navigation_tpu.perception.marking import update_dgraph
+    from dddmr_navigation_tpu.perception.voxel import (
+        window_origin_for, scroll_grid)
+    origin = window_origin_for(spec, robot_pos)
+    grid = scroll_grid(marking.grid, marking.origin, origin)
+    all_obs, all_live = buffer_as_observations(buf, now, keep_time)
+    latest = latest_live_observations(buf, now, keep_time)
+    grid = clear_with_frustums(spec, cam, grid, origin,
+                               all_obs, live=all_live)
+    grid = mark_depth_points(spec, grid, origin, latest,
+                             robot_pos[2], params.marking_height)
+    dgraph = update_dgraph(spec, params, grid, origin,
+                           marking.dgraph, map_ctx, robot_pos, robot_quat)
+    return marking._replace(grid=grid, origin=origin, dgraph=dgraph), latest
+
+
 def clear_with_frustums(spec: VoxelSpec, cam: CameraModel, grid, origin,
                         observations: DepthCameraObservation,
                         range_margin: float = 0.1,

@@ -221,3 +221,76 @@ def test_fused_state_checkpoint_roundtrip(tmp_path, setup):
     np.testing.assert_array_equal(np.asarray(o1.vx), np.asarray(o2.vx))
     np.testing.assert_array_equal(np.asarray(s1.marking.grid),
                                   np.asarray(s2.marking.grid))
+
+
+@pytest.mark.slow
+def test_depth_camera_bends_fused_plan(setup):
+    """VERDICT r3 item 8: the DepthCameraLayer runs INSIDE the fused
+    program — a depth observation marks its own layer grid, min-composes
+    into the stacked dGraph, joins the aggregated observation, and bends
+    THIS tick's extracted plan (`perception_3d_ros.cpp:220-249`)."""
+    import numpy as np
+    from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+    from dddmr_navigation_tpu.perception.depth_camera import CameraModel
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, init_fused_state, make_fused_tick)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+
+    cfg = setup[0]
+    ground = flat_ground_map(10, 8, 0.25)
+    fmap = build_fused_map(cfg, ground)
+    cam = CameraModel()
+    tick, spec, ri, params = make_fused_tick(cfg, depth_cam=cam)
+
+    robot = jnp.asarray([-3.5, 0.0, 0.0])
+    quat = quat_from_yaw(jnp.float32(0.0))
+    goal = jnp.asarray([3.5, 0.0, 0.0])
+    offset = jnp.asarray([0.0, 0.0, 0.3])
+    n_pad = cfg.perception.lidar.max_scan_points
+    empty_scan = jnp.zeros((n_pad, 3))
+    empty_mask = jnp.zeros((n_pad,), bool)
+
+    # camera on the robot looking +x; a wall of depth points 1.2 m ahead
+    # (inside the 1.6 m marking half-window) spanning the corridor
+    wall = box_obstacle([-2.3, 0.0, 0.0], size=(0.15, 1.6, 1.0),
+                        resolution=0.1).astype(np.float32)
+    P = 512
+    dpts = np.zeros((1, P, 3), np.float32)
+    dmask = np.zeros((1, P), bool)
+    dpts[0, :len(wall)] = wall[:P]
+    dmask[0, :min(len(wall), P)] = True
+    frames = (jnp.asarray([[-3.5, 0.0, 0.3]]),
+              jnp.asarray(np.asarray(quat)[None]),
+              jnp.asarray(dpts), jnp.asarray(dmask))
+
+    # without depth: straight-line plan through the wall position
+    st0 = init_fused_state(cfg, len(ground), robot_xyz=np.asarray(robot))
+    _, out_plain = tick(fmap, st0, empty_scan, empty_mask, robot, quat,
+                        offset, goal, jnp.float32(0.3), jnp.float32(0.0))
+    assert bool(out_plain.plan_ok)
+    plan0 = np.asarray(out_plain.plan.positions)[
+        np.asarray(out_plain.plan.valid)]
+    seg0 = plan0[(plan0[:, 0] > -2.8) & (plan0[:, 0] < -1.8)]
+    assert np.abs(seg0[:, 1]).max() < 0.3      # goes straight through
+
+    # with a depth frame: the layer marks, composes, and the SAME tick's
+    # plan routes around the wall
+    st1 = init_fused_state(cfg, len(ground), robot_xyz=np.asarray(robot),
+                           depth_cameras=1, depth_max_points=P)
+    st2, out_depth = tick(fmap, st1, empty_scan, empty_mask, robot, quat,
+                          offset, goal, jnp.float32(0.3), jnp.float32(0.0),
+                          depth_frames=frames, now=jnp.float32(0.0))
+    assert int(jnp.sum(st2.depth_marking.grid)) > 0
+    composed = np.asarray(out_depth.composed_dgraph)
+    assert (composed < 9000.0).sum() > 20      # depth layer wrote the field
+    assert bool(out_depth.plan_ok)
+    plan1 = np.asarray(out_depth.plan.positions)[
+        np.asarray(out_depth.plan.valid)]
+    seg1 = plan1[(plan1[:, 0] > -2.8) & (plan1[:, 0] < -1.8)]
+    assert len(seg1) > 0
+    assert np.abs(seg1[:, 1]).max() > 0.8      # bent around the wall
+    # the critics saw the depth points in the aggregated observation
+    obs = np.asarray(out_depth.obs)[np.asarray(out_depth.obs_mask)]
+    assert len(obs) > 0
+    d_wall = np.linalg.norm(obs[:, None, :2] - wall[None, :, :2], axis=-1)
+    assert d_wall.min() < 0.1
