@@ -95,6 +95,35 @@ def infer_classes(model: DDRNetSlim, params, rgb):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def load_class_map_csv(path: str):
+    """Ingest the reference's class-map CSVs
+    (`data/colors_mapillary*.csv`, `semi-colon `color;description` rows;
+    row order = class id, matching `trt_interface.py`'s argmax ids).
+    Returns (names list, (C, 3) uint8 color table). Works for both the
+    full palette and the display-remap variants
+    (colors_mapillary_person_and_sidewalk.csv)."""
+    import numpy as np
+    names, colors = [], []
+    with open(path) as f:
+        header = f.readline()
+        assert "color" in header and "description" in header, header
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            color_s, name = line.split(";")
+            colors.append([int(t) for t in color_s.split()])
+            names.append(name.strip())
+    return names, np.asarray(colors, np.uint8)
+
+
+def colorize_classes(class_mask, color_table):
+    """(H, W) class ids → (H, W, 3) uint8 using an ingested class map —
+    the reference's mask visualization / display remap."""
+    ct = jnp.asarray(color_table)
+    return ct[jnp.clip(class_mask, 0, ct.shape[0] - 1)]
+
+
 def segmentation_to_pointcloud(depth, class_mask, fx, fy, cx, cy,
                                keep_classes=None, depth_scale: float = 1.0):
     """`semantic_segmentation2point_cloud.cpp:81-176`: depth (H, W) +

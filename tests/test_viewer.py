@@ -62,3 +62,67 @@ def test_viewer_serves_map_state_and_click_commands():
         assert p is not None and abs(p[0] + 4.9) < 0.3
     finally:
         viewer.close()
+
+
+class TestPoseGraph3DViewer:
+    """Browser pose-graph editing surface (runtime/viewer3d.py) — the
+    rviz pose_graph_editor_panel analogue: select two keyframes, add an
+    ICP loop edge, optimize, all over HTTP against `slam/editor.py`."""
+
+    def _editor(self):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_editor import _line_graph
+        from dddmr_navigation_tpu.slam.editor import GraphEditor
+        g, world = _line_graph(k=6, drift=0.06)
+        return GraphEditor.from_graph(g), world
+
+    def test_http_editing_roundtrip(self):
+        import json
+        import urllib.request
+        from dddmr_navigation_tpu.runtime.viewer3d import PoseGraph3DViewer
+
+        ed, world = self._editor()
+        v = PoseGraph3DViewer(ed, map_pts=world, port=0)
+        try:
+            base = f"http://127.0.0.1:{v.port}"
+            page = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"canvas" in page and b"add_icp_edge" in page
+            cloud = json.loads(urllib.request.urlopen(
+                base + "/cloud", timeout=5).read())
+            assert len(cloud) == len(world)
+            graph = json.loads(urllib.request.urlopen(
+                base + "/graph", timeout=5).read())
+            assert len(graph["nodes"]) == 6
+            n_edges0 = len(graph["edges"])
+
+            def cmd(payload):
+                req = urllib.request.Request(
+                    base + "/cmd", data=json.dumps(payload).encode(),
+                    method="POST")
+                urllib.request.urlopen(req, timeout=5).read()
+
+            # the browser flow: select kf 0 and 5, press I, then O
+            cmd({"op": "add_icp_edge", "i": 0, "j": 5})
+            err_before = abs(float(ed.graph.poses[5, 1]))
+            assert v.poll() == 1
+            assert len(ed.edges) == n_edges0 + 1
+            ed.edges[-1]["weight"] = 50.0     # panel accept boosts weight
+            cmd({"op": "optimize"})
+            assert v.poll() == 1
+            err_after = abs(float(ed.graph.poses[5, 1]))
+            assert err_after < 0.5 * err_before
+
+            # republished graph carries the new loop edge + the op log
+            graph = json.loads(urllib.request.urlopen(
+                base + "/graph", timeout=5).read())
+            assert len(graph["edges"]) == n_edges0 + 1
+            assert any(kind == 1 for _, _, kind in graph["edges"])
+            assert "optimize ok" in graph["log"]
+
+            # delete it again from the page
+            cmd({"op": "delete_edge", "i": 0, "j": 5})
+            assert v.poll() == 1
+            assert len(ed.edges) == n_edges0
+        finally:
+            v.close()

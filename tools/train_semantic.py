@@ -18,17 +18,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAPILLARY_CSV = ("/root/reference/src/dddmr_semantic_segmentation/data/"
+                 "colors_mapillary.csv")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--profile", default="zones4",
+                    choices=["zones4", "mapillary19"],
+                    help="zones4: 4-class zone pipeline artifact; "
+                    "mapillary19: reference-class 19-class profile "
+                    "(classes from colors_mapillary.csv, 240x320, "
+                    "generator-independent eval)")
+    ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--width", type=int, default=16)
+    ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "semantic_ddrnet.npz"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -39,25 +48,67 @@ def main():
     import jax
     import jax.numpy as jnp
     from dddmr_navigation_tpu.perception.semantic import (
-        init_segmenter, make_train_step, infer_classes, save_params)
+        init_segmenter, make_train_step, infer_classes, save_params,
+        load_class_map_csv)
     from dddmr_navigation_tpu.perception.semantic_data import (
         CameraIntrinsics, make_batch, miou)
+    from dddmr_navigation_tpu.perception import semantic_scene19 as s19
     from dddmr_navigation_tpu.runtime.checkpoint import CheckpointManager
 
-    cam = CameraIntrinsics()
+    if args.profile == "zones4":
+        cam = CameraIntrinsics()
+        hw = (cam.height, cam.width)
+        n_classes, width = 4, args.width or 16
+        steps = args.steps or 400
+        classes = ["background", "floor", "forbidden_zone", "obstacle"]
+        out = args.out or os.path.join(REPO, "artifacts",
+                                       "semantic_ddrnet.npz")
+
+        def train_batch(rng):
+            return make_batch(rng, args.batch, cam)
+
+        def eval_batches(eval_rng):
+            return make_batch(eval_rng, 8, cam)
+        eval_note = "same generator family, held-out seed"
+    else:
+        hw = (240, 320)
+        n_classes, width = 19, args.width or 32
+        steps = args.steps or 900
+        if os.path.exists(MAPILLARY_CSV):
+            classes, _colors = load_class_map_csv(MAPILLARY_CSV)
+            assert classes == s19.CLASS_NAMES, (classes, s19.CLASS_NAMES)
+        else:
+            classes = s19.CLASS_NAMES
+        out = args.out or os.path.join(REPO, "artifacts",
+                                       "semantic_ddrnet19.npz")
+
+        def train_batch(rng):
+            return s19.make_batch19(rng, args.batch, *hw,
+                                    preset=s19.TRAIN_PRESET)
+
+        def eval_batches(eval_rng):
+            return s19.make_batch19(eval_rng, 8, *hw,
+                                    preset=s19.EVAL_PRESET)
+        eval_note = (f"DISJOINT generator family "
+                     f"({s19.EVAL_PRESET.name} vs "
+                     f"{s19.TRAIN_PRESET.name}): non-overlapping pitch "
+                     f"{s19.EVAL_PRESET.pitch_deg} vs "
+                     f"{s19.TRAIN_PRESET.pitch_deg} and camera height, "
+                     f"different layout family / tint / noise / lighting")
+
     rng = np.random.default_rng(args.seed)
     model, params = init_segmenter(
-        jax.random.PRNGKey(args.seed), height=cam.height, width=cam.width,
-        num_classes=4, net_width=args.width)
+        jax.random.PRNGKey(args.seed), height=hw[0], width=hw[1],
+        num_classes=n_classes, net_width=width)
     opt_init, step = make_train_step(model, learning_rate=args.lr)
     opt_state = opt_init(params)
 
-    ckpt_dir = os.path.join(os.path.dirname(args.out), "semantic_ckpts")
+    ckpt_dir = os.path.join(os.path.dirname(out), "semantic_ckpts")
     mgr = CheckpointManager(ckpt_dir, keep=2)
 
     t0 = time.time()
-    for i in range(args.steps):
-        rgb, labels = make_batch(rng, args.batch, cam)
+    for i in range(steps):
+        rgb, labels = train_batch(rng)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(rgb), jnp.asarray(labels))
         if i % 25 == 0:
@@ -66,28 +117,31 @@ def main():
         if i % 100 == 99:
             mgr.save(i, params)   # mid-run resume point
 
-    # held-out evaluation
+    # held-out evaluation (mapillary19: scenes from the DISJOINT family)
     eval_rng = np.random.default_rng(10_000 + args.seed)
-    rgb, labels = make_batch(eval_rng, 8, cam)
+    rgb, labels = eval_batches(eval_rng)
     pred = np.asarray(infer_classes(model, params, jnp.asarray(rgb)))
-    score = miou(pred, labels, num_classes=4)
-    print(f"held-out mIoU over 8 scenes: {score:.3f}")
+    score = miou(pred, labels, num_classes=n_classes)
+    print(f"held-out mIoU over {len(rgb)} scenes ({eval_note}): "
+          f"{score:.3f}")
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    save_params(args.out, params)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params(out, params)
     meta = {
         "miou_heldout": round(score, 4),
-        "steps": args.steps, "batch": args.batch,
-        "net_width": args.width, "num_classes": 4,
-        "image_hw": [cam.height, cam.width],
-        "classes": ["background", "floor", "forbidden_zone", "obstacle"],
+        "eval_note": eval_note,
+        "steps": steps, "batch": args.batch,
+        "net_width": width, "num_classes": n_classes,
+        "image_hw": list(hw),
+        "classes": classes,
+        "class_map_csv": (MAPILLARY_CSV if args.profile == "mapillary19"
+                          else None),
         "train_seconds": round(time.time() - t0, 1),
     }
-    with open(args.out + ".json", "w") as f:
+    with open(out + ".json", "w") as f:
         json.dump(meta, f, indent=1)
-    print(f"saved {args.out} ({os.path.getsize(args.out)/1e3:.0f} kB) "
-          f"+ metadata")
-    return 0 if score >= 0.6 else 1
+    print(f"saved {out} ({os.path.getsize(out)/1e3:.0f} kB) + metadata")
+    return 0 if score >= (0.6 if args.profile == "zones4" else 0.35) else 1
 
 
 if __name__ == "__main__":
