@@ -54,11 +54,39 @@ def fleet_tick(cfg: LocalPlannerConfig, plans: GlobalPlan, state: FleetState,
                          heading_deviation)
 
 
-def integrate_fleet(state: FleetState, vx, wz, dt: float) -> FleetState:
-    """Perfect-execution unicycle integration of the commanded twist
-    (host-free closed-loop stepping for benchmarks/sim)."""
+def track_twist(v_now, w_now, vx_cmd, wz_cmd, dt, limits):
+    """Acceleration-limited twist tracking — the physics the perfect-
+    execution integrators ignored (round-3 review: the closed-loop demos
+    assumed commanded == achieved). A diff-drive base accelerates toward
+    the command bounded by the SAME acc_lim_x/acc_lim_theta (and the
+    deceleration_ratio-scaled braking bound) that the dynamic-window
+    sampler assumed when it generated the command
+    (`dd_simple_trajectory_generator_theory.cpp:236-295`), so the sim
+    closes the loop on the sampler's own feasibility model.
+
+    Returns (v_achieved, w_achieved)."""
+    acc = limits.acc_lim_x * dt
+    dec = limits.acc_lim_x * limits.deceleration_ratio * dt
+    # braking (toward zero) uses the deceleration bound, speeding up the
+    # acceleration bound — per velocity sign
+    up = jnp.where(v_now >= 0, acc, dec)
+    dn = jnp.where(v_now >= 0, dec, acc)
+    v = jnp.clip(vx_cmd, v_now - dn, v_now + up)
+    aw = limits.acc_lim_theta * dt
+    w = jnp.clip(wz_cmd, w_now - aw, w_now + aw)
+    return v, w
+
+
+def integrate_fleet(state: FleetState, vx, wz, dt: float,
+                    limits=None) -> FleetState:
+    """Unicycle integration of the commanded twist. With ``limits`` (a
+    DD limits config) the command is first tracked through the
+    acceleration-limited base model (:func:`track_twist`); without, the
+    legacy perfect-execution stepping is kept for kernel benchmarks."""
     from dddmr_navigation_tpu.geometry import (
         yaw_from_quat, quat_from_yaw, quat_multiply)
+    if limits is not None:
+        vx, wz = track_twist(state.v, state.w, vx, wz, dt, limits)
     yaw = yaw_from_quat(state.quat)
     dx = vx * jnp.cos(yaw) * dt
     dy = vx * jnp.sin(yaw) * dt
@@ -384,19 +412,25 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
         vx = jnp.where(rec_active, 0.0, vx)
         wz = jnp.where(rec_active, wz_rec, wz)
 
-        # --- 7. integrate the TRUE pose with the commanded twist ---------
+        # --- 7. integrate the TRUE pose: the base TRACKS the commanded
+        # twist under the sampler's own acceleration limits (track_twist)
+        # instead of executing it perfectly
+        v_ach, w_ach = track_twist(s.v, s.w, vx, wz, dt,
+                                   lp_cfg.generator.limits)
         yaw = yaw_from_quat(s.quat)
-        pos2 = s.pos + jnp.stack([vx * jnp.cos(yaw) * dt,
-                                  vx * jnp.sin(yaw) * dt,
-                                  jnp.zeros_like(vx)])
-        quat2 = quat_multiply(s.quat, quat_from_yaw(wz * dt))
+        pos2 = s.pos + jnp.stack([v_ach * jnp.cos(yaw) * dt,
+                                  v_ach * jnp.sin(yaw) * dt,
+                                  jnp.zeros_like(v_ach)])
+        quat2 = quat_multiply(s.quat, quat_from_yaw(w_ach * dt))
 
         s2 = FleetFullState(
             fused=fused2, fsm=fsm2, recovery=rec3,
-            recovery_succeed=rec_succeed, pos=pos2, quat=quat2, v=vx, w=wz,
-            mcl=mcl2, odom_prev_pos=odom_pos, odom_prev_quat=odom_quat)
+            recovery_succeed=rec_succeed, pos=pos2, quat=quat2, v=v_ach,
+            w=w_ach, mcl=mcl2, odom_prev_pos=odom_pos,
+            odom_prev_quat=odom_quat)
         diag = {
-            "vx": vx, "wz": wz, "decision": fsm2.decision,
+            "vx": vx, "wz": wz, "v_achieved": v_ach, "w_achieved": w_ach,
+            "decision": fsm2.decision,
             "cmd_source": fout.cmd_source, "ps_simple": out.state,
             "ps_rotate": cmd_rot.state, "plan_ok": out.plan_ok,
             "recovery_active": rec_active, "recovery_succeed": rec_succeed,

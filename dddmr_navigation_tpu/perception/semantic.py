@@ -149,9 +149,13 @@ def segmentation_to_pointcloud(depth, class_mask, fx, fy, cx, cy,
 # (b) serialize/restore params with the runtime checkpoint machinery, the
 # analogue of shipping the .trt file.
 
-def softmax_ce_loss(model, params, rgb, labels, ignore_id: int = 255):
+def softmax_ce_loss(model, params, rgb, labels, ignore_id: int = 255,
+                    class_weights=None):
     """Per-pixel cross entropy with an ignore label (the Mapillary/
-    Cityscapes convention the reference's class CSVs follow)."""
+    Cityscapes convention the reference's class CSVs follow).
+    ``class_weights`` (C,) rebalances rare classes (inverse-sqrt
+    frequency is the usual choice) — without it, sky/ground dominate a
+    19-class street distribution and the rare classes never train."""
     logits = model.apply(params, rgb)
     logits = jax.image.resize(
         logits, rgb.shape[:3] + (logits.shape[-1],), "bilinear")
@@ -159,12 +163,16 @@ def softmax_ce_loss(model, params, rgb, labels, ignore_id: int = 255):
     valid = labels != ignore_id
     safe = jnp.where(valid, labels, 0)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    w = valid.astype(jnp.float32)
+    if class_weights is not None:
+        w = w * jnp.asarray(class_weights, jnp.float32)[safe]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
-def make_train_step(model, learning_rate: float = 1e-3):
+def make_train_step(model, learning_rate=1e-3, class_weights=None):
     """Returns (opt_state_init, jitted step): step(params, opt_state,
-    rgb, labels) → (params, opt_state, loss)."""
+    rgb, labels) → (params, opt_state, loss). ``learning_rate`` may be an
+    optax schedule."""
     import optax
 
     tx = optax.adam(learning_rate)
@@ -172,7 +180,8 @@ def make_train_step(model, learning_rate: float = 1e-3):
     @jax.jit
     def step(params, opt_state, rgb, labels):
         loss, grads = jax.value_and_grad(
-            lambda p: softmax_ce_loss(model, p, rgb, labels))(params)
+            lambda p: softmax_ce_loss(model, p, rgb, labels,
+                                      class_weights=class_weights))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -209,3 +209,29 @@ def test_fleet_blocked_robot_recovers_then_aborts(world):
     # the unblocked robots were unaffected
     assert (d["decision"][:, 0] == int(Decision.D_CONTROLLING)).any()
     assert d["decision"][-1, 0] != int(Decision.D_ABORT)
+
+
+def test_track_twist_acceleration_limits():
+    """The base cannot jump to a commanded twist: tracking is bounded by
+    the sampler's acc_lim_x / acc_lim_theta (speed-up) and the
+    deceleration_ratio-scaled bound (braking) — round-3 review item on
+    perfect twist execution."""
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config.schema import TrajectoryGeneratorLimits
+    from dddmr_navigation_tpu.parallel.fleet import track_twist
+    lim = TrajectoryGeneratorLimits(acc_lim_x=1.0, acc_lim_theta=3.0,
+                                    deceleration_ratio=2.0)
+    dt = 0.1
+    # speed up from rest: bounded by acc_lim_x*dt
+    v, w = track_twist(jnp.float32(0.0), jnp.float32(0.0),
+                       jnp.float32(1.0), jnp.float32(2.0), dt, lim)
+    assert abs(float(v) - 0.1) < 1e-6
+    assert abs(float(w) - 0.3) < 1e-6
+    # brake from speed: bounded by deceleration_ratio * acc_lim_x * dt
+    v, _ = track_twist(jnp.float32(1.0), jnp.float32(0.0),
+                       jnp.float32(0.0), jnp.float32(0.0), dt, lim)
+    assert abs(float(v) - 0.8) < 1e-6
+    # small command within bounds passes through
+    v, _ = track_twist(jnp.float32(0.5), jnp.float32(0.0),
+                       jnp.float32(0.55), jnp.float32(0.0), dt, lim)
+    assert abs(float(v) - 0.55) < 1e-6

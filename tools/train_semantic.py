@@ -100,7 +100,25 @@ def main():
     model, params = init_segmenter(
         jax.random.PRNGKey(args.seed), height=hw[0], width=hw[1],
         num_classes=n_classes, net_width=width)
-    opt_init, step = make_train_step(model, learning_rate=args.lr)
+    class_weights = None
+    lr = args.lr
+    if args.profile == "mapillary19":
+        # inverse-sqrt frequency class weights (estimated from the train
+        # generator) + cosine decay — without both, sky/ground dominate
+        # and the rare classes never train
+        import optax
+        freq = np.full(n_classes, 1e-6)
+        for _ in range(30):
+            _, _, lab = s19.render_scene19(rng, 120, 160,
+                                           s19.TRAIN_PRESET)
+            c = np.bincount(lab.ravel(), minlength=n_classes)
+            freq += c / c.sum()
+        wgt = 1.0 / np.sqrt(freq / freq.sum())
+        class_weights = (wgt / wgt.mean()).astype(np.float32)
+        lr = optax.cosine_decay_schedule(args.lr, args.steps or 900,
+                                         alpha=0.02)
+    opt_init, step = make_train_step(model, learning_rate=lr,
+                                     class_weights=class_weights)
     opt_state = opt_init(params)
 
     ckpt_dir = os.path.join(os.path.dirname(out), "semantic_ckpts")
