@@ -134,6 +134,48 @@ _OBJECT_CLASSES = [WALL, FENCE, GUARDRAIL, POLE, TRAFFICSIGN, VEGETATION,
                    PERSON, RIDER, CAR, TRUCK, BUS, CARAVAN, MOTORCYCLE,
                    BICYCLE]
 
+_WINDOW = np.array([0.10, 0.12, 0.18], np.float32)
+_TIRE = np.array([0.06, 0.06, 0.07], np.float32)
+_SKIN = np.array([0.82, 0.62, 0.50], np.float32)
+
+
+def _instance_shading(rng, cls, base, hp, lo, hi):
+    """Class-distinctive surface structure on the hit points of one box:
+    the visual cues real deployments separate the vehicle family by —
+    window bands (bus: periodic windows full-length; truck: cab-front
+    only; car: one canopy band; caravan: one small porthole), tires near
+    the ground, skin-tone heads on persons/riders. Random paint colors
+    alone made CAR/TRUCK/CARAVAN mutually indistinguishable (per-class
+    IoU ≈ 0.0–0.2); size is confounded with distance in a pinhole view,
+    so the classes need surface cues, exactly like real imagery."""
+    n = len(hp)
+    col = np.broadcast_to(base, (n, 3)).copy()
+    size = np.maximum(hi - lo, 1e-6)
+    rel = (hp - lo[None, :]) / size[None, :]          # (n,3) in [0,1]
+    long_axis = int(np.argmax(size[:2]))
+    relz = rel[:, 2]
+    rell = rel[:, long_axis]
+    if cls in (CAR, TRUCK, BUS, CARAVAN):
+        win = (relz > 0.55) & (relz < 0.88)
+        if cls == BUS:
+            win &= (np.mod(rell * 8.0, 1.0) < 0.62)   # periodic windows
+        elif cls == TRUCK:
+            win &= rell < 0.22                        # cab only
+        elif cls == CARAVAN:
+            win &= (rell > 0.35) & (rell < 0.55)      # one porthole
+            col[:] = 0.65 + 0.3 * (base - 0.5)        # pale body
+        col[win] = _WINDOW
+        col[relz < 0.16] = _TIRE                      # wheels/skirt
+    elif cls in (MOTORCYCLE, BICYCLE):
+        col[relz < 0.5] = _TIRE
+    elif cls in (PERSON, RIDER):
+        col[relz > 0.82] = _SKIN                      # head
+        col[(relz > 0.40) & (relz <= 0.82)] = base    # torso
+        col[relz <= 0.40] = base * 0.55               # legs darker
+    elif cls == POLE:
+        col[:] = [0.42, 0.43, 0.46]                   # consistent steel
+    return col
+
 
 def render_scene19(rng: np.random.Generator, height=240, width=320,
                    preset: ScenePreset = TRAIN_PRESET):
@@ -217,7 +259,10 @@ def render_scene19(rng: np.random.Generator, height=240, width=320,
         hit = (tmax >= tmin) & (tmax > 0) & (tbox < t_hit) & (tbox > 0)
         t_hit = np.where(hit, tbox, t_hit)
         labels = np.where(hit, cls, labels)
-        inst_color[hit] = _class_color(rng, cls)
+        base = _class_color(rng, cls)
+        if hit.any():
+            hp = origin[None, :] + dirs[hit] * tbox[hit][:, None]
+            inst_color[hit] = _instance_shading(rng, cls, base, hp, lo, hi)
 
     depth_z = np.where(np.isfinite(t_hit), t_hit / d_norm, 0.0)
 

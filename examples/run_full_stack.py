@@ -140,16 +140,27 @@ def run(n_ticks=250, out_dir="/tmp/dddmr_full_stack_pg", verbose=True,
     max_drift = 0.0
     i = 0
 
+    # acceleration-limited base (track_twist semantics, host-side): the
+    # truth tracks the command under the sampler's own accel limits
+    lim = nav_cfg.local_planner.generator.limits
+    v_ex = w_ex = 0.0
+
     for i in range(n_ticks):
         now = i * dt
-        # truth propagates with the COMMANDED twist
-        true_base[0] += v * np.cos(true_yaw) * dt
-        true_base[1] += v * np.sin(true_yaw) * dt
-        true_yaw += w * dt
+        up = (lim.acc_lim_x if v_ex >= 0 else
+              lim.acc_lim_x * lim.deceleration_ratio) * dt
+        dn = (lim.acc_lim_x * lim.deceleration_ratio if v_ex >= 0
+              else lim.acc_lim_x) * dt
+        v_ex = float(np.clip(v, v_ex - dn, v_ex + up))
+        w_ex = float(np.clip(w, w_ex - lim.acc_lim_theta * dt,
+                             w_ex + lim.acc_lim_theta * dt))
+        true_base[0] += v_ex * np.cos(true_yaw) * dt
+        true_base[1] += v_ex * np.sin(true_yaw) * dt
+        true_yaw += w_ex * dt
         # odometry drifts: scale on translation + yaw-rate bias
-        odom_yaw += w * dt + drift_yaw
-        odom_pos[0] += drift_scale * v * np.cos(odom_yaw) * dt
-        odom_pos[1] += drift_scale * v * np.sin(odom_yaw) * dt
+        odom_yaw += w_ex * dt + drift_yaw
+        odom_pos[0] += drift_scale * v_ex * np.cos(odom_yaw) * dt
+        odom_pos[1] += drift_scale * v_ex * np.sin(odom_yaw) * dt
 
         # simulate_scan takes the WORLD sensor pose; map → world = + t0
         sensor_world = true_base + [0, 0, sensor_h] + t0

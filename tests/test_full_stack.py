@@ -16,7 +16,9 @@ def test_map_localize_navigate_closed_loop(tmp_path):
     r = run(n_ticks=250, out_dir=str(tmp_path / "pg"), verbose=False)
     assert r["done"] and r["ok"], r
     assert r["true_goal_err"] < 1.5, r
-    assert r["est_err"] < 1.2, r
+    # r4: the base now tracks commands under acceleration limits
+    # (track_twist), a harder closed loop than perfect execution
+    assert r["est_err"] < 1.5, r
     # odometry genuinely drifted — dead reckoning alone would not have
     # scored this; the MCL correction carried the run
     assert r["max_odom_drift"] > 0.15, r
