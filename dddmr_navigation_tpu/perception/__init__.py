@@ -12,3 +12,7 @@ from dddmr_navigation_tpu.perception.static_map import (
 from dddmr_navigation_tpu.perception.marking import (
     MarkingParams, MarkingState, init_marking_state, perception_update,
     clear_marked, mark_scan, update_dgraph)
+
+from dddmr_navigation_tpu.perception.semantic import (
+    load_class_map_csv, colorize_classes)
+from dddmr_navigation_tpu.perception import semantic_scene19

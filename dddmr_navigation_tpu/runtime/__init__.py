@@ -9,3 +9,4 @@ from dddmr_navigation_tpu.runtime.checkpoint import (
     save_pytree, restore_pytree, CheckpointManager)
 from dddmr_navigation_tpu.runtime.tracing import trace, DebugDumper
 from dddmr_navigation_tpu.runtime.viewer import NavViewer
+from dddmr_navigation_tpu.runtime.viewer3d import PoseGraph3DViewer

@@ -168,3 +168,96 @@ def test_sharded_fused_vertical_fleet_8_devices():
     dg = np.asarray(s2.marking.dgraph)
     assert (dg.min(axis=1) < 2.0).all()
     assert np.asarray(vx).min() > 0.0, "fleet did not move"
+
+
+@pytest.mark.slow
+def test_sharded_full_vertical_fleet_8dev():
+    """The FLAGSHIP program sharded: fleet_full_tick (MCL + mark/clear +
+    turning/LOS replan + FSM + recovery) DP-sharded over the 8-device
+    mesh with the map/submap replicated and the fleet-health psum on the
+    mesh axis — the in-suite counterpart of `dryrun_multichip`."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.config import (
+        NavigationConfig, LocalPlannerConfig, DDSimpleGeneratorConfig,
+        PerceptionConfig, SpinningLidarConfig, GlobalPlannerConfig,
+        MoveBaseConfig, MCLConfig)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, make_fused_tick)
+    from dddmr_navigation_tpu.parallel.fleet import (
+        make_fleet_mesh, shard_fleet_arrays, init_fleet_full_state,
+        sharded_fleet_full_tick)
+    from dddmr_navigation_tpu.state_estimation.likelihood import (
+        build_submap_context)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    lidar = SpinningLidarConfig(
+        scan_effective_positive_start=0.0, scan_effective_negative_start=0.0,
+        max_scan_points=256)
+    cfg = NavigationConfig(
+        perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=32,
+                                    voxel_window_cells_z=12,
+                                    max_marked_voxels=128),
+        local_planner=LocalPlannerConfig(
+            generator=DDSimpleGeneratorConfig(
+                linear_x_sample=5, angular_z_sample=5, max_num_steps=16),
+            max_obstacle_points=128, collision_obstacle_chunk=16,
+            collision_near_k=32),
+        global_planner=GlobalPlannerConfig(
+            turning_weight=0.1, max_long_edges=32, los_samples=4,
+            max_lethal_points=128, max_relax_iters=64, max_path_len=128))
+    mb = MoveBaseConfig()
+    mcl_cfg = MCLConfig(num_particles=16, init_var_x=0.3, init_var_y=0.3,
+                        init_var_z=0.1, init_var_yaw=0.1,
+                        field_sampling="nearest")
+    ground = flat_ground_map(6, 5, 0.5)
+    walls = np.concatenate([
+        box_obstacle([-2.6, 0.0, 0.0], size=(0.3, 4.4, 1.0), resolution=0.2),
+        box_obstacle([2.6, 0.0, 0.0], size=(0.3, 4.4, 1.0), resolution=0.2),
+        box_obstacle([0.0, -2.1, 0.0], size=(5.0, 0.3, 1.0), resolution=0.2),
+    ]).astype(np.float32)
+    fmap = build_fused_map(cfg, ground, walls)
+    submap = build_submap_context(walls, ground, mcl_cfg)
+    _, spec, ri_spec, params = make_fused_tick(cfg)
+
+    b = 16
+    positions = np.stack([np.full(b, -1.8),
+                          3.0 * (np.arange(b) / b - 0.5),
+                          np.zeros(b)], 1).astype(np.float32)
+    quats = np.broadcast_to(
+        np.asarray(quat_from_yaw(jnp.float32(0.0))), (b, 4)).copy()
+    goals = positions + np.array([3.4, 0.2, 0.0], np.float32)
+    n_pad = cfg.perception.lidar.max_scan_points
+    scans = np.zeros((b, n_pad, 3), np.float32)
+    masks = np.zeros((b, n_pad), bool)
+    for i in range(b):
+        box = box_obstacle([positions[i, 0] + 1.0, positions[i, 1] + 0.5,
+                            0.0], size=(0.2, 0.2, 0.6), resolution=0.1)
+        rel = (box - (positions[i] + [0, 0, 0.3]))[:n_pad]
+        scans[i, :len(rel)] = rel
+        masks[i, :len(rel)] = True
+
+    state = init_fleet_full_state(cfg, len(ground), positions, quats,
+                                  localize=True, mcl_cfg=mcl_cfg)
+    mesh = make_fleet_mesh(8)
+    tick = sharded_fleet_full_tick(cfg, mb, spec, ri_spec, params, mesh,
+                                   mcl_cfg=mcl_cfg, localize=True)
+    state, scans_j, masks_j, goals_j, drift, dyaw = shard_fleet_arrays(
+        mesh, (state, jnp.asarray(scans), jnp.asarray(masks),
+               jnp.asarray(goals),
+               jnp.full((b, 3), 0.02) * jnp.asarray([0.7, 0.7, 0.0]),
+               jnp.zeros((b,))))
+    offset = jnp.asarray([0.0, 0.0, 0.3])
+    for t in range(2):
+        state, diag, found = tick(
+            fmap, submap, jnp.asarray(walls), jnp.asarray(ground), state,
+            scans_j, masks_j, offset, goals_j, jnp.float32(0.1 * t),
+            jnp.float32(0.1), drift, dyaw)
+    assert int(np.sum(np.asarray(diag["plan_ok"]))) == b
+    assert float(np.max(np.asarray(diag["mcl_err"]))) < 1.0
+    assert int(np.asarray(found)) >= 0  # psum'd fleet health replicated
