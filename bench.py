@@ -589,11 +589,14 @@ def bench_config3_real(ticks=20, reps=4, toggle_period=5):
     side = np.array([-u[1], u[0]], np.float32)           # perpendicular
 
     def strip_box(world, along, thick=0.4, width=1.2, height=1.2):
+        # AABB over ALL FOUR corners of the rotated rectangle (review
+        # finding: two opposite corners alone collapse the extent for
+        # diagonal path directions)
         c = robot[:2] + u * along
-        lo = np.minimum.reduce([c - u * thick / 2 - side * width / 2,
-                                c + u * thick / 2 + side * width / 2])
-        hi = np.maximum.reduce([c - u * thick / 2 - side * width / 2,
-                                c + u * thick / 2 + side * width / 2])
+        corners = [c + su * u * thick / 2 + sv * side * width / 2
+                   for su in (-1, 1) for sv in (-1, 1)]
+        lo = np.minimum.reduce(corners)
+        hi = np.maximum.reduce(corners)
         return world.add_box([lo[0], lo[1], robot[2] - 0.2],
                              [hi[0], hi[1], robot[2] + height])
 
@@ -796,7 +799,11 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True):
                             odom_drift_yaw=jnp.zeros((b,)),
                             feature_map_pts=wallsj,
                             feature_ground_pts=groundj)
-            found = jnp.sum((diag["ps_simple"] == 4).astype(jnp.int32))
+            from dddmr_navigation_tpu.planning.local.planner import (
+                PlannerState)
+            found = jnp.sum(
+                (diag["ps_simple"] == int(PlannerState.TRAJECTORY_FOUND))
+                .astype(jnp.int32))
             err = (jnp.max(diag["mcl_err"]) if localize
                    else jnp.float32(0.0))
             return s2, (diag["vx"][0] + found.astype(jnp.float32), found,

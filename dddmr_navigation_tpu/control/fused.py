@@ -323,17 +323,24 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
         scan_mask, robot_pos, robot_quat, sensor_pos, robot_quat)
 
     # 1b. depth-camera layer (its own grid/dGraph, like every reference
-    # plugin), fused into the same program
+    # plugin), fused into the same program. The layer tick runs EVERY
+    # tick a camera is attached — new frames push first when given, but
+    # a frame-less tick still clears/marks against the buffered live
+    # frustums and still composes (the reference's sensorsUpdateLoop
+    # ticks every plugin at 10 Hz regardless of per-sensor arrival;
+    # review finding: gating composition on this-tick frames made
+    # depth-only obstacles vanish from planning between frames).
     depth_marking, depth_buffer = state.depth_marking, state.depth_buffer
     depth_latest = None
-    if depth_marking is not None and depth_frames is not None:
+    if depth_marking is not None:
         from dddmr_navigation_tpu.perception.depth_camera import (
             push_observation, depth_layer_update)
-        cam_pos, cam_quat, dpts, dmask = depth_frames
-        for c in range(cam_pos.shape[0]):
-            depth_buffer = push_observation(
-                depth_buffer, c, cam_pos[c], cam_quat[c], dpts[c],
-                dmask[c], jnp.asarray(now, jnp.float32))
+        if depth_frames is not None:
+            cam_pos, cam_quat, dpts, dmask = depth_frames
+            for c in range(cam_pos.shape[0]):
+                depth_buffer = push_observation(
+                    depth_buffer, c, cam_pos[c], cam_quat[c], dpts[c],
+                    dmask[c], jnp.asarray(now, jnp.float32))
         depth_marking, depth_latest = depth_layer_update(
             spec, params, depth_cam, depth_marking, depth_buffer,
             jnp.asarray(now, jnp.float32), depth_keep_time, fmap.map_ctx,
@@ -342,7 +349,7 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     # 2. stacked composition + lethal aggregation (skipped when the LOS
     # stage is disabled — its only consumer, see plan_on_graph)
     composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
-    if depth_marking is not None and depth_frames is not None:
+    if depth_marking is not None:
         composed = min_dgraph(composed, depth_marking.dgraph)
     if nav_cfg.global_planner.max_long_edges > 0:
         # Only nodes near a long edge can affect an LOS verdict — the

@@ -57,21 +57,22 @@ def fleet_tick(cfg: LocalPlannerConfig, plans: GlobalPlan, state: FleetState,
 def track_twist(v_now, w_now, vx_cmd, wz_cmd, dt, limits):
     """Acceleration-limited twist tracking — the physics the perfect-
     execution integrators ignored (round-3 review: the closed-loop demos
-    assumed commanded == achieved). A diff-drive base accelerates toward
-    the command bounded by the SAME acc_lim_x/acc_lim_theta (and the
-    deceleration_ratio-scaled braking bound) that the dynamic-window
-    sampler assumed when it generated the command
-    (`dd_simple_trajectory_generator_theory.cpp:236-295`), so the sim
-    closes the loop on the sampler's own feasibility model.
+    assumed commanded == achieved). The reachable-velocity window is the
+    SAME one the dynamic-window sampler offers per control period
+    (`dd_simple_trajectory_generator_theory.cpp:236-295`,
+    sampler.dd_simple_samples): up to ``v + acc_lim_x·dt`` speeding up
+    and down to ``v / deceleration_ratio`` braking (multiplicative, NOT
+    an additive decel bound — a prior version used acc·ratio·dt, which
+    let the sim overshoot every braking rollout the critics had scored).
+    When the window inverts (speed-cap below the braking floor) it
+    collapses to the braking floor, exactly like the sampler. So the sim
+    executes only velocities the sampler could have offered — the
+    closed loop holds the critics' collision guarantees.
 
     Returns (v_achieved, w_achieved)."""
-    acc = limits.acc_lim_x * dt
-    dec = limits.acc_lim_x * limits.deceleration_ratio * dt
-    # braking (toward zero) uses the deceleration bound, speeding up the
-    # acceleration bound — per velocity sign
-    up = jnp.where(v_now >= 0, acc, dec)
-    dn = jnp.where(v_now >= 0, dec, acc)
-    v = jnp.clip(vx_cmd, v_now - dn, v_now + up)
+    hi = v_now + limits.acc_lim_x * dt
+    lo = v_now / limits.deceleration_ratio
+    v = jnp.where(lo > hi, lo, jnp.clip(vx_cmd, lo, hi))
     aw = limits.acc_lim_theta * dt
     w = jnp.clip(wz_cmd, w_now - aw, w_now + aw)
     return v, w
@@ -187,7 +188,9 @@ def sharded_fused_fleet_tick(nav_cfg, spec, ri_spec, params, mesh: Mesh,
             nav_cfg, spec, ri_spec, params, fmap, states, scans,
             scan_masks, positions, quats, sensor_offset, goals, v_now,
             w_now)
-        found = jnp.sum((codes == 4).astype(jnp.float32))
+        from dddmr_navigation_tpu.planning.local.planner import PlannerState
+        found = jnp.sum((codes == int(PlannerState.TRAJECTORY_FOUND))
+                        .astype(jnp.float32))
         total = jax.lax.psum(found, axis)
         return s2, vx, wz, codes, ok, total
 
@@ -471,7 +474,10 @@ def sharded_fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params,
             submap_ctx=submap_ctx, odom_drift_pos=drift_pos,
             odom_drift_yaw=drift_yaw, feature_map_pts=feat_map,
             feature_ground_pts=feat_ground)
-        found = jnp.sum((diag["ps_simple"] == 4).astype(jnp.float32))
+        from dddmr_navigation_tpu.planning.local.planner import PlannerState
+        found = jnp.sum((diag["ps_simple"]
+                         == int(PlannerState.TRAJECTORY_FOUND))
+                        .astype(jnp.float32))
         total = jax.lax.psum(found, axis)
         return s2, diag, total
 

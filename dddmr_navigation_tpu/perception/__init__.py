@@ -13,6 +13,8 @@ from dddmr_navigation_tpu.perception.marking import (
     MarkingParams, MarkingState, init_marking_state, perception_update,
     clear_marked, mark_scan, update_dgraph)
 
-from dddmr_navigation_tpu.perception.semantic import (
-    load_class_map_csv, colorize_classes)
+# NOTE: perception.semantic (the flax net + class-map ingestion) is NOT
+# imported here — flax is an optional dependency and the navigation
+# verticals must import without it. Use
+# `from dddmr_navigation_tpu.perception.semantic import ...` directly.
 from dddmr_navigation_tpu.perception import semantic_scene19

@@ -111,6 +111,14 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
         dist_carry = wf.dist
         iters = wf.iters
     ok = s_ok & g_ok & p_ok
+    # A relaxation that hit max_iters did NOT converge — typically a
+    # region became unreachable and its stale finite values can only
+    # creep upward, which would pin EVERY subsequent warm tick at
+    # max_iters (review finding, reproduced on a cut-off pocket). Reset
+    # the carry to the inf-init in that case: the next tick pays one
+    # bounded cold solve (which settles unreachable nodes at inf) and
+    # warm ticks resume after.
+    dist_carry = jnp.where(iters >= cfg.max_relax_iters, jnp.inf, dist_carry)
     return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
                             length=jnp.where(ok, length, 0), ok=ok,
                             dist_to_goal=dist_to_goal, dist_carry=dist_carry,

@@ -140,20 +140,18 @@ def run(n_ticks=250, out_dir="/tmp/dddmr_full_stack_pg", verbose=True,
     max_drift = 0.0
     i = 0
 
-    # acceleration-limited base (track_twist semantics, host-side): the
-    # truth tracks the command under the sampler's own accel limits
+    # acceleration-limited base: the SAME track_twist the fleet uses
+    # (single source for the feasibility model)
+    from dddmr_navigation_tpu.parallel.fleet import track_twist
     lim = nav_cfg.local_planner.generator.limits
     v_ex = w_ex = 0.0
 
     for i in range(n_ticks):
         now = i * dt
-        up = (lim.acc_lim_x if v_ex >= 0 else
-              lim.acc_lim_x * lim.deceleration_ratio) * dt
-        dn = (lim.acc_lim_x * lim.deceleration_ratio if v_ex >= 0
-              else lim.acc_lim_x) * dt
-        v_ex = float(np.clip(v, v_ex - dn, v_ex + up))
-        w_ex = float(np.clip(w, w_ex - lim.acc_lim_theta * dt,
-                             w_ex + lim.acc_lim_theta * dt))
+        v_a, w_a = track_twist(jnp.float32(v_ex), jnp.float32(w_ex),
+                               jnp.float32(v), jnp.float32(w),
+                               jnp.float32(dt), lim)
+        v_ex, w_ex = float(v_a), float(w_a)
         true_base[0] += v_ex * np.cos(true_yaw) * dt
         true_base[1] += v_ex * np.sin(true_yaw) * dt
         true_yaw += w_ex * dt

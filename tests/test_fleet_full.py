@@ -227,11 +227,27 @@ def test_track_twist_acceleration_limits():
                        jnp.float32(1.0), jnp.float32(2.0), dt, lim)
     assert abs(float(v) - 0.1) < 1e-6
     assert abs(float(w) - 0.3) < 1e-6
-    # brake from speed: bounded by deceleration_ratio * acc_lim_x * dt
+    # braking floor is the SAMPLER'S window bound v/deceleration_ratio
+    # (multiplicative, sampler.py dd_simple window) — so the sim can
+    # only execute velocities the critics could have scored
     v, _ = track_twist(jnp.float32(1.0), jnp.float32(0.0),
                        jnp.float32(0.0), jnp.float32(0.0), dt, lim)
-    assert abs(float(v) - 0.8) < 1e-6
+    assert abs(float(v) - 0.5) < 1e-6
     # small command within bounds passes through
     v, _ = track_twist(jnp.float32(0.5), jnp.float32(0.0),
                        jnp.float32(0.55), jnp.float32(0.0), dt, lim)
     assert abs(float(v) - 0.55) < 1e-6
+    # consistency with the sampler: the achieved velocity always lies in
+    # the window the sampler offered at (v_now, cap=-1)
+    from dddmr_navigation_tpu.config import DDSimpleGeneratorConfig
+    from dddmr_navigation_tpu.planning.local.sampler import dd_simple_samples
+    gen = DDSimpleGeneratorConfig(linear_x_sample=8, angular_z_sample=8)
+    for v0, cmd in ((1.0, 0.0), (0.4, 1.0), (0.2, 0.15)):
+        samples, valid = dd_simple_samples(
+            gen, jnp.float32(v0), jnp.float32(0.0), jnp.float32(-1.0))
+        vs = np.asarray(samples)[np.asarray(valid), 0]
+        va, _ = track_twist(jnp.float32(v0), jnp.float32(0.0),
+                            jnp.float32(cmd), jnp.float32(0.0),
+                            1.0 / 10.0, gen.limits)
+        assert vs.min() - 1e-5 <= float(va) <= vs.max() + 1e-5, (
+            v0, cmd, float(va), vs.min(), vs.max())

@@ -242,3 +242,45 @@ class TestWarmStart:
         assert bool(r3.ok)
         np.testing.assert_array_equal(np.asarray(r3.node_ids),
                                       np.asarray(r3_cold.node_ids))
+
+
+def test_warm_carry_resets_after_enclosure(small_world):
+    """Review finding: once a region becomes unreachable, the un-clamped
+    warm field can only creep upward and every warm tick would burn the
+    full max_relax_iters forever. plan_on_graph resets the carry to the
+    inf-init whenever the relaxation hit its bound, so the NEXT tick pays
+    one bounded cold solve and warm ticks resume."""
+    ground, graph = small_world
+    cfg = GlobalPlannerConfig(max_long_edges=0, max_relax_iters=48)
+    open_d = np.full(len(ground), 9999.0, np.float32)
+    # seal the right half: a full lethal wall, goal inside the sealed part
+    sealed = open_d.copy()
+    sealed[np.abs(ground[:, 0]) < 0.5] = 0.0
+    args_open = (jnp.asarray(graph.nbr_idx), jnp.asarray(graph.nbr_dist),
+                 jnp.asarray(graph.nbr_valid), jnp.asarray(ground),
+                 jnp.ones(len(ground), bool), jnp.asarray(open_d),
+                 jnp.zeros(len(ground)), jnp.asarray(graph.avg_intensity))
+    args_sealed = args_open[:5] + (jnp.asarray(sealed),) + args_open[6:]
+    start = jnp.asarray([-3.0, 0.0, 0.0])
+    goal = jnp.asarray([3.0, 0.0, 0.0])
+    kw = dict(inscribed_radius=INSCRIBED, inflation_descending_rate=RATE)
+
+    r_open = plan_on_graph(cfg, *args_open, start, goal, **kw)
+    assert bool(r_open.ok)
+    # wall appears: warm start from the stale field hits the bound
+    r_seal = plan_on_graph(cfg, *args_sealed, start, goal, **kw,
+                           warm_dist=r_open.dist_carry,
+                           warm_goal_idx=r_open.goal_idx)
+    assert int(r_seal.iters) == cfg.max_relax_iters
+    # the carry must have been reset: the next tick is a bounded cold
+    # solve that CONVERGES (unreachable start side settles at inf)
+    r_next = plan_on_graph(cfg, *args_sealed, start, goal, **kw,
+                           warm_dist=r_seal.dist_carry,
+                           warm_goal_idx=r_seal.goal_idx)
+    assert int(r_next.iters) < cfg.max_relax_iters
+    assert not bool(r_next.ok)          # genuinely unreachable
+    # and the tick after that is warm again
+    r_warm = plan_on_graph(cfg, *args_sealed, start, goal, **kw,
+                           warm_dist=r_next.dist_carry,
+                           warm_goal_idx=r_next.goal_idx)
+    assert int(r_warm.iters) <= 2
