@@ -58,6 +58,13 @@ class FusedMap(NamedTuple):
     node_weight: jnp.ndarray    # (G,)
     static_dgraph: jnp.ndarray  # (G,) static-layer field (overhang lethals)
     los_relevant: jnp.ndarray   # (G,) nodes near a long edge (LOS gating)
+    # zone layers (None when no zones configured): the precomputed
+    # no-entry distance field (`no_entry_layer.cpp:225-290`) and the
+    # padded speed-zone cloud (`speed_limit_layer.cpp:222-300`)
+    no_entry_field: object      # (G,) f32 or None
+    speed_zone_pts: object      # (Z, 3) f32 or None
+    speed_zone_valid: object    # (Z,) bool or None
+    speed_zone_speed: object    # (Z,) f32 or None
     # static turning-planner geometry (None when turning_weight == 0):
     # per-edge azimuths/bins for the relaxation and the (G,K,K) exact-θ
     # penalty table for extraction — map properties, computed once
@@ -98,7 +105,9 @@ def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
                     map_pts: Optional[np.ndarray] = None,
                     node_weight: Optional[np.ndarray] = None,
                     static_dgraph: Optional[np.ndarray] = None,
-                    intensity: Optional[np.ndarray] = None) -> FusedMap:
+                    intensity: Optional[np.ndarray] = None,
+                    no_entry_zones: Optional[np.ndarray] = None,
+                    speed_zones: Optional[tuple] = None) -> FusedMap:
     """Precompute the kNN ground graph + map context (same parameters as
     `GlobalPlannerRuntime`, `global_planner.cpp:156-176` sync)."""
     ground = np.asarray(ground, np.float32)
@@ -113,6 +122,20 @@ def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
           if static_dgraph is None else np.asarray(static_dgraph, np.float32))
     los_rel = _los_relevant_mask(
         ground, graph, inscribed_radius=cfg.perception.inscribed_radius)
+    ne_field = szp = szv = szs = None
+    if no_entry_zones is not None:
+        from dddmr_navigation_tpu.perception.layers import no_entry_dgraph
+        zp = jnp.asarray(np.asarray(no_entry_zones, np.float32))
+        ne_field = no_entry_dgraph(
+            jnp.asarray(ground), jnp.ones((g,), bool), zp,
+            jnp.ones((len(no_entry_zones),), bool),
+            inflation_distance=cfg.perception.inflation_radius,
+            max_obstacle_distance=cfg.perception.max_obstacle_distance)
+    if speed_zones is not None:
+        zpts, zspeed = speed_zones
+        szp = jnp.asarray(np.asarray(zpts, np.float32))
+        szv = jnp.ones((len(zpts),), bool)
+        szs = jnp.asarray(np.asarray(zspeed, np.float32))
     gp = cfg.global_planner
     if gp.turning_weight > 0.0:
         from dddmr_navigation_tpu.planning.global_.wavefront import (
@@ -136,6 +159,8 @@ def build_fused_map(cfg: NavigationConfig, ground: np.ndarray,
         node_weight=jnp.asarray(nw),
         static_dgraph=jnp.asarray(sd),
         los_relevant=jnp.asarray(los_rel),
+        no_entry_field=ne_field, speed_zone_pts=szp,
+        speed_zone_valid=szv, speed_zone_speed=szs,
         wf_az=az, wf_bins=bins, turn_pen=tpen,
     )
 
@@ -295,7 +320,7 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
                sensor_offset, goal_pos, v_now, w_now,
                allowed_max_speed=-1.0, depth_cam=None,
                depth_frames=None, now=0.0,
-               depth_keep_time: float = 0.5):
+               depth_keep_time: float = 0.5, no_entry_enabled=True):
     """One full vertical tick on device. ``scan_sensor`` is the live sweep
     in the SENSOR frame (rotated to global inside the program).
 
@@ -347,10 +372,29 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
             robot_pos, robot_quat)
 
     # 2. stacked composition + lethal aggregation (skipped when the LOS
-    # stage is disabled — its only consumer, see plan_on_graph)
+    # stage is disabled — its only consumer, see plan_on_graph). The
+    # zone layers join the stack here: the no-entry field min-composes
+    # under its runtime toggle (`no_entry_layer.cpp` enable service →
+    # the traced ``no_entry_enabled`` flag) and the speed-limit zone
+    # caps the sampler below (`stacked_perception.cpp:114-126` +
+    # `speed_limit_layer.cpp:222-300`).
     composed = min_dgraph(fmap.static_dgraph, marking.dgraph)
     if depth_marking is not None:
         composed = min_dgraph(composed, depth_marking.dgraph)
+    if fmap.no_entry_field is not None:
+        gated = jnp.where(jnp.asarray(no_entry_enabled), fmap.no_entry_field,
+                          p.max_obstacle_distance)
+        composed = min_dgraph(composed, gated)
+    if fmap.speed_zone_pts is not None:
+        from dddmr_navigation_tpu.perception.layers import speed_limit_at
+        zone_cap = speed_limit_at(robot_pos, fmap.speed_zone_pts,
+                                  fmap.speed_zone_valid,
+                                  fmap.speed_zone_speed)
+        cap = jnp.asarray(allowed_max_speed, jnp.float32)
+        allowed_max_speed = jnp.where(
+            zone_cap > 0.0,
+            jnp.where(cap > 0.0, jnp.minimum(cap, zone_cap), zone_cap),
+            cap)
     if nav_cfg.global_planner.max_long_edges > 0:
         # Only nodes near a long edge can affect an LOS verdict — the
         # static los_relevant mask keeps the extraction budget tight on

@@ -294,3 +294,57 @@ def test_depth_camera_bends_fused_plan(setup):
     assert len(obs) > 0
     d_wall = np.linalg.norm(obs[:, None, :2] - wall[None, :, :2], axis=-1)
     assert d_wall.min() < 0.1
+
+
+@pytest.mark.slow
+def test_zone_layers_in_fused_program(setup):
+    """The zone layers complete the plugin stack INSIDE the fused program:
+    the no-entry field min-composes under its runtime toggle and the
+    speed-limit zone caps the sampler (`no_entry_layer.cpp:225-290`,
+    `speed_limit_layer.cpp:222-300`)."""
+    import numpy as np
+    from dddmr_navigation_tpu.io.maps import flat_ground_map
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, init_fused_state, make_fused_tick)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+
+    cfg = setup[0]
+    ground = flat_ground_map(10, 8, 0.25)
+    # no-entry strip across the corridor; speed zone at the start
+    ys = np.arange(-1.2, 1.21, 0.1, dtype=np.float32)
+    ne = np.stack([np.full_like(ys, -1.0), ys, np.zeros_like(ys)], 1)
+    sz = np.stack([np.full(25, -3.5), np.linspace(-0.6, 0.6, 25),
+                   np.zeros(25)], 1).astype(np.float32)
+    fmap = build_fused_map(cfg, ground, no_entry_zones=ne,
+                           speed_zones=(sz, np.full(25, 0.21, np.float32)))
+    tick, spec, ri, params = make_fused_tick(cfg)
+
+    robot = jnp.asarray([-3.5, 0.0, 0.0])
+    quat = quat_from_yaw(jnp.float32(0.0))
+    goal = jnp.asarray([3.5, 0.0, 0.0])
+    offset = jnp.asarray([0.0, 0.0, 0.3])
+    n_pad = cfg.perception.lidar.max_scan_points
+    empty = jnp.zeros((n_pad, 3)); emask = jnp.zeros((n_pad,), bool)
+
+    def run(enabled):
+        st = init_fused_state(cfg, len(ground), robot_xyz=np.asarray(robot))
+        return tick(fmap, st, empty, emask, robot, quat, offset, goal,
+                    jnp.float32(0.2), jnp.float32(0.0),
+                    no_entry_enabled=enabled)
+
+    _, out_on = run(True)
+    _, out_off = run(False)
+    assert bool(out_on.plan_ok) and bool(out_off.plan_ok)
+    p_on = np.asarray(out_on.plan.positions)[np.asarray(out_on.plan.valid)]
+    p_off = np.asarray(out_off.plan.positions)[np.asarray(out_off.plan.valid)]
+    band_on = p_on[(p_on[:, 0] > -1.4) & (p_on[:, 0] < -0.6)]
+    band_off = p_off[(p_off[:, 0] > -1.4) & (p_off[:, 0] < -0.6)]
+    # toggle ON: the plan routes around the zone; OFF: straight through
+    assert np.abs(band_on[:, 1]).max() > 1.0, band_on
+    assert np.abs(band_off[:, 1]).max() < 0.4, band_off
+    # the composed field carries the zone only when enabled
+    assert (np.asarray(out_on.composed_dgraph) < 2.0).sum() \
+        > (np.asarray(out_off.composed_dgraph) < 2.0).sum()
+    # speed zone at the robot caps the sampled command
+    assert float(out_on.vx) <= 0.21 + 1e-5
+    assert float(out_on.vx) > 0.0
