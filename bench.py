@@ -67,6 +67,18 @@ def _setup_jax():
     return jax
 
 
+def _tick_stats(per_tick):
+    """Headline = MEDIAN per-tick time (round-5 methodology fix: the
+    previous headline was min-of-reps, optimistic); min and p99 are
+    reported alongside. p99 is over per-chain means (see module note)."""
+    import numpy as np
+    return {
+        "tick_ms": 1e3 * float(np.median(per_tick)),
+        "tick_ms_min": 1e3 * float(min(per_tick)),
+        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+    }
+
+
 def _time_chains(run, make_args, ticks, reps):
     """Compile+warm once, then time `reps` chains; returns
     (compile_s, per-tick seconds list, last outputs).
@@ -161,11 +173,11 @@ def bench_headline(robots=64, ticks=50, reps=6, obstacles_n=512,
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
     import numpy as np
     rollouts_per_tick = b * s_padded
-    best = min(per_tick)
+    stats = _tick_stats(per_tick)
+    best = stats["tick_ms"] / 1e3          # median (see _tick_stats)
     result = {
         "rollouts_per_s": rollouts_per_tick / best,
-        "tick_ms": 1e3 * best,
-        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        **stats,
         "rollouts_per_tick": rollouts_per_tick,
         "robots": b,
         "found": int(_force(out[1]).sum()),
@@ -404,11 +416,11 @@ def bench_config2(ticks=30, reps=4):
         return (state0, jnp.asarray(scan_pts), jnp.asarray(scan_mask), plan)
 
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
-    best = min(per_tick)
+    stats = _tick_stats(per_tick)
+    best = stats["tick_ms"] / 1e3
     s_padded = cfg.generator.n_samples_padded
     return {
-        "tick_ms": 1e3 * best,
-        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        **stats,
         "rollouts_per_tick": s_padded,
         "marked_voxels": int(_force(out[3])[-1]),
         "planner_state_last": int(_force(out[2])[-1]),
@@ -497,11 +509,11 @@ def bench_config3(ticks=20, reps=4):
                 jnp.asarray(robot), jnp.asarray(goal))
 
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
-    best = min(per_tick)
+    stats = _tick_stats(per_tick)
+    best = stats["tick_ms"] / 1e3
     s_padded = cfg.local_planner.generator.n_samples_padded
     return {
-        "tick_ms": 1e3 * best,
-        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        **stats,
         "rollouts_per_tick": s_padded,
         "solves_per_s": 1.0 / best,      # one full replan per tick
         "ground_nodes": len(ground),
@@ -665,7 +677,8 @@ def bench_config3_real(ticks=20, reps=4, toggle_period=5):
         outc = run(*args_cold)
         _force(outc[0])
         cold_chain.append(time.perf_counter() - t0)
-    best = min(per_tick)
+    stats = _tick_stats(per_tick)
+    best = stats["tick_ms"] / 1e3
     # cold solve cost = cold-chain time minus (ticks-1) warm ticks
     cold_ms = 1e3 * (min(cold_chain) - (ticks - 1) * best)
     it = _force(out[5])
@@ -679,8 +692,7 @@ def bench_config3_real(ticks=20, reps=4, toggle_period=5):
         "los_long_edges": int(np.asarray(
             (fmap.nbr_valid & (fmap.nbr_dist >= 1.0)).sum())),
         "rollouts_per_tick": s_padded,
-        "tick_ms": 1e3 * best,
-        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
+        **stats,
         "cold_solve_ms": round(cold_ms, 1),
         "cold_relax_iters": cold_iters,
         "warm_relax_iters_mean": round(float(it.mean()), 1),
@@ -705,7 +717,8 @@ def bench_config3_real(ticks=20, reps=4, toggle_period=5):
 # turning term, the FSM, and localization for speed).
 # ---------------------------------------------------------------------------
 
-def bench_config4(robots=64, ticks=10, reps=4, localize=True):
+def bench_config4(robots=64, ticks=10, reps=4, localize=True,
+                  turning=True):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -736,16 +749,16 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True):
             max_obstacle_points=512, collision_obstacle_chunk=16,
             collision_near_k=128),
         # canonical planner semantics: turning term ON (YAML
-        # turning_weight 0.1) with the LOS stage enabled
-        global_planner=GlobalPlannerConfig(turning_weight=0.1,
-                                           max_long_edges=256,
-                                           los_samples=8,
-                                           max_lethal_points=512,
-                                           max_relax_iters=192))
+        # turning_weight 0.1) with the LOS stage enabled. ``turning=False``
+        # is the ROOFLINE ablation variant (w_turn=0 node-table relax).
+        global_planner=GlobalPlannerConfig(
+            turning_weight=0.1 if turning else 0.0,
+            max_long_edges=256, los_samples=8, max_lethal_points=512,
+            max_relax_iters=192))
     mb = MoveBaseConfig()
     mcl_cfg = MCLConfig(num_particles=60, init_var_x=0.3, init_var_y=0.3,
                         init_var_z=0.1, init_var_yaw=0.1,
-                        field_sampling="nearest")
+                        field_sampling="corr")
 
     ground = flat_ground_map(12, 8, 0.25)
     # warehouse perimeter — the structure MCL localizes against
@@ -829,29 +842,38 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True):
     scans_j, masks_j, goals_j = (jnp.asarray(scans), jnp.asarray(masks),
                                  jnp.asarray(goals))
     cold_args = (fmap, submap, state0, scans_j, masks_j, goals_j)
+    t0 = time.perf_counter()
     state1 = jax.block_until_ready(warm_one(*cold_args))
+    warm_compile_s = time.perf_counter() - t0    # advisor item: the
+    # separately-jitted single-tick program's compile cost, reported
+    # instead of silently excluded from compile_s
     t0 = time.perf_counter()
     state1 = jax.block_until_ready(warm_one(*cold_args))
     cold_tick_ms = 1e3 * (time.perf_counter() - t0)
+    warm_compile_s -= cold_tick_ms / 1e3
 
     def make_args():
         return (fmap, submap, state1, scans_j, masks_j, goals_j)
 
     compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
-    best = min(per_tick)
+    stats = _tick_stats(per_tick)
+    best = stats["tick_ms"] / 1e3
+    p99_s = stats["p99_tick_ms"] / 1e3
     s_padded = cfg.local_planner.generator.n_samples_padded
     decisions = _force(out[2])
     return {
-        "tick_ms": 1e3 * best,
+        **stats,
         "cold_tick_ms": round(cold_tick_ms, 1),
+        "warm_compile_s": round(warm_compile_s, 1),
         "warm_wf_iters_last_tick": int(_force(out[4])[-1]),
-        "p99_tick_ms": 1e3 * float(np.percentile(per_tick, 99)),
         "robots": b,
         "rollouts_per_tick": b * s_padded,
         "full_verticals_per_s": b / best,
         # throughput framing: the reference runs ONE robot's vertical per
-        # machine at 10 Hz; this chip sustains this many such robots
-        "robots_at_10hz_per_chip": round(b / best / 10.0, 1),
+        # machine at 10 Hz; this chip sustains this many such robots —
+        # derived from the p99 tick (round-5 methodology: the tail, not
+        # the best rep, is what a 10 Hz deadline actually meets)
+        "robots_at_10hz_per_chip": round(b / p99_s / 10.0, 1),
         "fidelity": ("mcl(60p, drifting odom) + mark/clear + turning "
                      "wavefront(w=0.1) + LOS + FSM + rotate recovery"
                      if localize else

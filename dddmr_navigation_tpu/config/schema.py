@@ -293,9 +293,14 @@ class MCLConfig:
     """Reference `mcl_3dl` params."""
     num_particles: int = 60
     # EDT sampling for the measurement model: "trilinear" (default,
-    # 8-corner interpolation) or "nearest" (1 gather — the fleet-scale
-    # speed/precision trade, see likelihood.sample_distance)
+    # 8-corner interpolation), "nearest" (1 gather per particle×point), or
+    # "corr" (correspondence-cached: 1 gather per point, shared across
+    # particles, point-to-plane distances to the cached Voronoi owner
+    # — the fleet-scale tracking mode; see likelihood.measure_all_corr)
     field_sampling: str = "trilinear"
+    # 'corr' mode: free-slide radius of a cached owner's local surface
+    # patch, in field-resolution units (likelihood.measure_all_corr)
+    corr_patch_cells: float = 2.0
     init_var_x: float = 2.0
     init_var_y: float = 2.0
     init_var_z: float = 0.5

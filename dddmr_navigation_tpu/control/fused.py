@@ -39,8 +39,7 @@ from dddmr_navigation_tpu.perception.marking import (
 from dddmr_navigation_tpu.perception.layers import min_dgraph
 from dddmr_navigation_tpu.planning.global_.graph import build_ground_graph
 from dddmr_navigation_tpu.planning.global_.los import lethal_cloud_from_dgraph
-from dddmr_navigation_tpu.planning.global_.planner import (
-    GlobalPathResult, plan_on_graph)
+from dddmr_navigation_tpu.planning.global_.planner import GlobalPathResult
 from dddmr_navigation_tpu.planning.local.planner import (
     GlobalPlan, VelocityCommand, compute_velocity_command)
 
@@ -313,30 +312,32 @@ def interpolate_path_device(ground, res: GlobalPathResult, *,
     return GlobalPlan(pos_buf, quat_buf, plan_valid, count)
 
 
-def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
-               ri_spec: RangeImageSpec, params: MarkingParams,
-               generator: str, fmap: FusedMap, state: FusedState,
-               scan_sensor, scan_mask, robot_pos, robot_quat,
-               sensor_offset, goal_pos, v_now, w_now,
-               allowed_max_speed=-1.0, depth_cam=None,
-               depth_frames=None, now=0.0,
-               depth_keep_time: float = 0.5, no_entry_enabled=True):
-    """One full vertical tick on device. ``scan_sensor`` is the live sweep
-    in the SENSOR frame (rotated to global inside the program).
+class FusedPrePlan(NamedTuple):
+    """Everything `fused_pre_plan` hands to the relaxation + post stage."""
+    marking: MarkingState
+    depth_marking: object
+    depth_buffer: object
+    depth_latest: object
+    composed: jnp.ndarray
+    allowed_max_speed: jnp.ndarray
+    scan_global: jnp.ndarray
+    prep: object               # planning.global_.planner.PlanPrep
 
-    Static args: nav_cfg/spec/ri_spec/params/generator (+ depth_cam /
-    depth_keep_time when cameras are attached) — jit with
-    ``static_argnums=(0, 1, 2, 3, 4)`` or use :func:`make_fused_tick`.
 
-    Depth cameras: with ``depth_cam`` (a CameraModel) and a state built
-    with ``depth_cameras > 0``, pass this tick's frames as a pytree of
-    (cam_pos (C,3), cam_quat (C,4), points (C,P,3) world, mask (C,P));
-    the DepthCameraLayer stage (buffer → frustum clear vs ALL live →
-    mark latest → layer dGraph) runs inside the same program, its field
-    min-composes into the stacked dGraph
-    (`perception_3d_ros.cpp:220-249`), and its latest points join the
-    aggregated observation the critics see.
-    """
+def fused_pre_plan(nav_cfg: NavigationConfig, spec: VoxelSpec,
+                   ri_spec: RangeImageSpec, params: MarkingParams,
+                   fmap: FusedMap, state: FusedState,
+                   scan_sensor, scan_mask, robot_pos, robot_quat,
+                   sensor_offset, goal_pos,
+                   allowed_max_speed=-1.0, depth_cam=None,
+                   depth_frames=None, now=0.0,
+                   depth_keep_time: float = 0.5, no_entry_enabled=True
+                   ) -> FusedPrePlan:
+    """Stages 1–2 of the fused vertical (mark/clear, depth layer, stacked
+    composition, zone layers, lethal aggregation) plus the global
+    planner's pre-relaxation work (snap/LOS/entry costs/warm gate) — the
+    per-robot half of the tick BEFORE the wavefront relaxation, split out
+    so a fleet can relax jointly (`parallel/fleet.py`)."""
     p = nav_cfg.perception
     sensor_pos = robot_pos + quat_rotate(robot_quat, sensor_offset)
     scan_global = quat_rotate(robot_quat[None, :], scan_sensor) \
@@ -406,18 +407,33 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     else:
         lethal_pts = lethal_valid = None
 
-    # 3. global replan over THIS tick's composed field, warm-started from
-    # the previous tick's relaxation (reset automatically on goal change)
-    res = plan_on_graph(
+    # 3a. global planner pre-relaxation: snap, LOS gate, entry costs,
+    # warm-field goal gate (`plan_prepare`)
+    from dddmr_navigation_tpu.planning.global_.planner import plan_prepare
+    prep = plan_prepare(
         nav_cfg.global_planner, fmap.nbr_idx, fmap.nbr_dist, fmap.nbr_valid,
         fmap.ground, fmap.ground_valid, composed, fmap.node_weight,
-        fmap.avg_intensity, robot_pos, goal_pos,
+        robot_pos, goal_pos,
         inscribed_radius=p.inscribed_radius,
         inflation_descending_rate=p.inflation_descending_rate,
         lethal_pts=lethal_pts, lethal_valid=lethal_valid,
-        warm_dist=state.wf_dist, warm_goal_idx=state.wf_goal_idx,
-        turn_pen=fmap.turn_pen, wf_az=fmap.wf_az, wf_bins=fmap.wf_bins)
+        warm_dist=state.wf_dist, warm_goal_idx=state.wf_goal_idx)
+    return FusedPrePlan(
+        marking=marking, depth_marking=depth_marking,
+        depth_buffer=depth_buffer, depth_latest=depth_latest,
+        composed=composed,
+        allowed_max_speed=jnp.asarray(allowed_max_speed, jnp.float32),
+        scan_global=scan_global, prep=prep)
 
+
+def fused_post_plan(nav_cfg: NavigationConfig, generator: str,
+                    fmap: FusedMap, pre: FusedPrePlan, res,
+                    scan_mask, robot_pos, robot_quat, v_now, w_now
+                    ) -> tuple:
+    """Stages 4–6 of the fused vertical AFTER the relaxation+extraction
+    (``res`` is the GlobalPathResult): device path interpolation, this
+    tick's aggregated observation, prune → rollouts → critics → argmin,
+    and state/out assembly."""
     # 4. node path → interpolated plan (getROSPath) on device
     plan = interpolate_path_device(
         fmap.ground, res, max_plan_len=nav_cfg.local_planner.max_plan_len)
@@ -425,27 +441,86 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
     # 5. observation from THIS scan (+ the latest depth points — the
     # aggregated observation, `stacked_perception.cpp:128-140`);
     # 6. prune → rollouts → critics → argmin
-    agg_pts, agg_mask = scan_global, scan_mask
-    if depth_latest is not None:
+    agg_pts, agg_mask = pre.scan_global, scan_mask
+    if pre.depth_latest is not None:
         agg_pts = jnp.concatenate(
-            [agg_pts, depth_latest.points.reshape(-1, 3)], axis=0)
+            [agg_pts, pre.depth_latest.points.reshape(-1, 3)], axis=0)
         agg_mask = jnp.concatenate(
-            [agg_mask, depth_latest.mask.reshape(-1)], axis=0)
+            [agg_mask, pre.depth_latest.mask.reshape(-1)], axis=0)
     obs, obs_mask = device_observation(
         agg_pts, agg_mask, nav_cfg.local_planner.max_obstacle_points)
     cmd = compute_velocity_command(
         nav_cfg.local_planner, plan, robot_pos, robot_quat, v_now, w_now,
-        obs, obs_mask, allowed_max_speed=allowed_max_speed,
+        obs, obs_mask, allowed_max_speed=pre.allowed_max_speed,
         generator=generator)
 
     out = FusedOut(vx=cmd.vx, wz=cmd.wz, state=cmd.state,
                    best_cost=cmd.best_cost, plan=plan, plan_ok=res.ok,
-                   composed_dgraph=composed, obs=obs, obs_mask=obs_mask,
+                   composed_dgraph=pre.composed, obs=obs, obs_mask=obs_mask,
                    wf_iters=res.iters)
-    return FusedState(marking=marking, wf_dist=res.dist_carry,
+    return FusedState(marking=pre.marking, wf_dist=res.dist_carry,
                       wf_goal_idx=res.goal_idx,
-                      depth_marking=depth_marking,
-                      depth_buffer=depth_buffer), out
+                      depth_marking=pre.depth_marking,
+                      depth_buffer=pre.depth_buffer), out
+
+
+def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
+               ri_spec: RangeImageSpec, params: MarkingParams,
+               generator: str, fmap: FusedMap, state: FusedState,
+               scan_sensor, scan_mask, robot_pos, robot_quat,
+               sensor_offset, goal_pos, v_now, w_now,
+               allowed_max_speed=-1.0, depth_cam=None,
+               depth_frames=None, now=0.0,
+               depth_keep_time: float = 0.5, no_entry_enabled=True):
+    """One full vertical tick on device. ``scan_sensor`` is the live sweep
+    in the SENSOR frame (rotated to global inside the program).
+
+    Static args: nav_cfg/spec/ri_spec/params/generator (+ depth_cam /
+    depth_keep_time when cameras are attached) — jit with
+    ``static_argnums=(0, 1, 2, 3, 4)`` or use :func:`make_fused_tick`.
+
+    Depth cameras: with ``depth_cam`` (a CameraModel) and a state built
+    with ``depth_cameras > 0``, pass this tick's frames as a pytree of
+    (cam_pos (C,3), cam_quat (C,4), points (C,P,3) world, mask (C,P));
+    the DepthCameraLayer stage (buffer → frustum clear vs ALL live →
+    mark latest → layer dGraph) runs inside the same program, its field
+    min-composes into the stacked dGraph
+    (`perception_3d_ros.cpp:220-249`), and its latest points join the
+    aggregated observation the critics see.
+
+    Composed as `fused_pre_plan` → wavefront relaxation →
+    `fused_post_plan`; fleets replace the middle stage with a joint
+    node-major relaxation over the shared graph (`parallel/fleet.py`).
+    """
+    from dddmr_navigation_tpu.planning.global_.planner import plan_finish
+    from dddmr_navigation_tpu.planning.global_.wavefront import (
+        wavefront_distances, wavefront_distances_turning)
+
+    pre = fused_pre_plan(
+        nav_cfg, spec, ri_spec, params, fmap, state, scan_sensor, scan_mask,
+        robot_pos, robot_quat, sensor_offset, goal_pos,
+        allowed_max_speed, depth_cam, depth_frames, now, depth_keep_time,
+        no_entry_enabled)
+    gp = nav_cfg.global_planner
+    if gp.turning_weight > 0.0:
+        dist_gb, edge_bins, iters = wavefront_distances_turning(
+            fmap.nbr_idx, fmap.nbr_dist, pre.prep.graph_valid, pre.prep.enter,
+            fmap.avg_intensity, pre.prep.goal_idx, fmap.ground,
+            gp.turning_weight, n_dir_bins=gp.turning_dir_bins,
+            max_iters=gp.max_relax_iters, dist0=pre.prep.warm_dist,
+            az=fmap.wf_az, bin_of_edge=fmap.wf_bins)
+        res = plan_finish(gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground,
+                          pre.prep, dist_gb, iters, turn_pen=fmap.turn_pen,
+                          wf_bins=edge_bins)
+    else:
+        wf = wavefront_distances(
+            fmap.nbr_idx, fmap.nbr_dist, pre.prep.graph_valid, pre.prep.enter,
+            fmap.avg_intensity, pre.prep.goal_idx,
+            max_iters=gp.max_relax_iters, dist0=pre.prep.warm_dist)
+        res = plan_finish(gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground,
+                          pre.prep, wf.dist, wf.iters)
+    return fused_post_plan(nav_cfg, generator, fmap, pre, res, scan_mask,
+                           robot_pos, robot_quat, v_now, w_now)
 
 
 def make_fused_tick(nav_cfg: NavigationConfig,

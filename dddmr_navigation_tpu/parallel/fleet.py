@@ -322,8 +322,16 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
     truth (the round-3 config-4 behavior).
 
     Returns (new_state, diag dict of (B,) arrays).
+
+    Structure: the per-robot pre-plan stage (MCL + mark/clear + compose +
+    snap/LOS) and the post-plan stage (extract + rollouts + FSM +
+    recovery) are vmapped; the wavefront relaxation between them runs
+    ONCE for the whole fleet in node-major layout over the shared graph
+    (`fleet_wavefront_distances_turning`) — all robots' fields ride one
+    gather per edge instead of R separate gather passes.
     """
-    from dddmr_navigation_tpu.control.fused import fused_tick
+    from dddmr_navigation_tpu.control.fused import (
+        fused_pre_plan, fused_post_plan)
     from dddmr_navigation_tpu.control.fsm import (
         FSMInputs, fsm_step, Decision, CmdSource)
     from dddmr_navigation_tpu.control.recovery import (
@@ -331,14 +339,18 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
     from dddmr_navigation_tpu.planning.local.planner import (
         compute_velocity_command, initial_heading_deviation,
         goal_heading_deviation, goal_reached)
+    from dddmr_navigation_tpu.planning.global_.planner import plan_finish
+    from dddmr_navigation_tpu.planning.global_.wavefront import (
+        fleet_wavefront_distances, fleet_wavefront_distances_turning)
     from dddmr_navigation_tpu.state_estimation.mcl import mcl_update
     from dddmr_navigation_tpu.geometry import (
         yaw_from_quat, quat_from_yaw, quat_multiply)
 
     lp_cfg = nav_cfg.local_planner
+    gp = nav_cfg.global_planner
     localize = mcl_cfg is not None and state.mcl is not None
 
-    def one(s, scan, smask, goal, drift_pos, drift_yaw):
+    def pre_one(s, scan, smask, goal, drift_pos, drift_yaw):
         # --- 1. localization (optional): odom = true ∘ drift -------------
         if localize:
             odom_pos = s.pos + drift_pos
@@ -351,16 +363,27 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
                 flat, flat_ok, sharp, sharp_ok,
                 jnp.ones(sharp.shape[0], jnp.float32))
             plan_pos, plan_quat = mout.pose_pos, mout.pose_quat
+            mcl_err = jnp.linalg.norm(mout.pose_pos - s.pos)
+            match_ratio = mout.match_ratio_max
         else:
             odom_pos, odom_quat = s.pos, s.quat
-            mcl2, mout = s.mcl, None
+            mcl2 = s.mcl
             plan_pos, plan_quat = s.pos, s.quat
+            mcl_err = match_ratio = jnp.float32(0.0)
 
-        # --- 2. perceive → replan → rollouts (simple generator) ----------
-        fused2, out = fused_tick(
-            nav_cfg, spec, ri_spec, params, "differential_drive_simple",
-            fmap, s.fused, scan, smask, plan_pos, plan_quat, sensor_offset,
-            goal, s.v, s.w)
+        # --- 2. perceive → compose → snap/LOS (pre-relaxation half) ------
+        pre = fused_pre_plan(
+            nav_cfg, spec, ri_spec, params, fmap, s.fused, scan, smask,
+            plan_pos, plan_quat, sensor_offset, goal)
+        return (pre, mcl2, odom_pos, odom_quat, plan_pos, plan_quat,
+                mcl_err, match_ratio)
+
+    def post_one(s, pre, res, smask, plan_pos, plan_quat, mcl2, odom_pos,
+                 odom_quat, mcl_err, match_ratio):
+        # --- 2b. extract + rollouts (simple generator) -------------------
+        fused2, out = fused_post_plan(
+            nav_cfg, "differential_drive_simple", fmap, pre, res, smask,
+            plan_pos, plan_quat, s.v, s.w)
 
         # --- 3. predicates + rotate-generator command --------------------
         init_dev, init_aligned, _ = initial_heading_deviation(
@@ -443,8 +466,8 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
             "plan_pos": plan_pos, "plan_yaw": yaw_from_quat(plan_quat),
         }
         if localize:
-            diag["mcl_err"] = jnp.linalg.norm(mout.pose_pos - s.pos)
-            diag["match_ratio"] = mout.match_ratio_max
+            diag["mcl_err"] = mcl_err
+            diag["match_ratio"] = match_ratio
         return s2, diag
 
     b = state.pos.shape[0]
@@ -452,8 +475,38 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
         odom_drift_pos = jnp.zeros((b, 3))
     if odom_drift_yaw is None:
         odom_drift_yaw = jnp.zeros((b,))
-    return jax.vmap(one)(state, scans, scan_masks, goals,
-                         odom_drift_pos, odom_drift_yaw)
+
+    # stage A (vmapped): localize + perceive + snap/LOS
+    (pre, mcl2, odom_pos, odom_quat, plan_pos, plan_quat, mcl_err,
+     match_ratio) = jax.vmap(pre_one)(state, scans, scan_masks, goals,
+                                      odom_drift_pos, odom_drift_yaw)
+
+    # stage B: ONE node-major relaxation for the whole fleet over the
+    # shared graph (the per-robot Bellman operator, element for element)
+    prep = pre.prep
+    if gp.turning_weight > 0.0:
+        dist_r, iters = fleet_wavefront_distances_turning(
+            fmap.nbr_idx, fmap.nbr_dist, prep.graph_valid, prep.enter,
+            fmap.avg_intensity, prep.goal_idx, gp.turning_weight,
+            az=fmap.wf_az, bin_of_edge=fmap.wf_bins,
+            n_dir_bins=gp.turning_dir_bins, max_iters=gp.max_relax_iters,
+            dist0_r=prep.warm_dist)
+        finish = lambda pr, d: plan_finish(
+            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters,
+            turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins)
+    else:
+        dist_r, iters = fleet_wavefront_distances(
+            fmap.nbr_idx, fmap.nbr_dist, prep.graph_valid, prep.enter,
+            fmap.avg_intensity, prep.goal_idx,
+            max_iters=gp.max_relax_iters, dist0_r=prep.warm_dist)
+        finish = lambda pr, d: plan_finish(
+            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters)
+    res = jax.vmap(finish)(prep, dist_r)
+
+    # stage C (vmapped): extraction consumers — rollouts, FSM, recovery
+    return jax.vmap(post_one)(state, pre, res, scan_masks, plan_pos,
+                              plan_quat, mcl2, odom_pos, odom_quat,
+                              mcl_err, match_ratio)
 
 
 def sharded_fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params,

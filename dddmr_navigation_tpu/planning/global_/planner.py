@@ -41,6 +41,84 @@ def snap_to_ground(ground, ground_valid, pos, radius: float = 0.5):
     return i, d[i] <= radius
 
 
+class PlanPrep(NamedTuple):
+    """Per-robot pre-relaxation state: snap results, LOS-gated edge
+    validity, node entry costs, and the goal-gated warm field — everything
+    the relaxation consumes (`plan_prepare` → relax → `plan_finish`)."""
+    start_idx: jnp.ndarray   # () int32
+    goal_idx: jnp.ndarray    # () int32
+    sg_ok: jnp.ndarray       # () bool — both snaps succeeded
+    graph_valid: jnp.ndarray # (G, K) after the LOS gate
+    enter: jnp.ndarray       # (G,) node entry costs (inf = lethal)
+    warm_dist: object        # warm field or None
+
+
+def plan_prepare(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
+                 ground, ground_valid, dgraph, node_weight,
+                 start_pos, goal_pos, *, inscribed_radius: float,
+                 inflation_descending_rate: float,
+                 lethal_pts=None, lethal_valid=None,
+                 warm_dist=None, warm_goal_idx=None) -> PlanPrep:
+    """Snap start/goal, LOS-gate long edges, compute entry costs, and gate
+    the warm field on goal identity — the per-robot work BEFORE the
+    relaxation (which a fleet sharing one graph can then run jointly)."""
+    from dddmr_navigation_tpu.planning.global_.los import long_edge_los_mask
+
+    start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
+    goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
+
+    if warm_dist is not None:
+        same_goal = (goal_idx == warm_goal_idx) if warm_goal_idx is not None \
+            else jnp.asarray(True)
+        warm_dist = jnp.where(same_goal, warm_dist, jnp.inf)
+
+    if lethal_pts is not None and cfg.max_long_edges > 0:
+        los = long_edge_los_mask(
+            graph_idx, graph_dist, graph_valid, ground, lethal_pts,
+            lethal_valid, inscribed_radius=inscribed_radius,
+            max_long_edges=cfg.max_long_edges, samples=cfg.los_samples)
+        graph_valid = graph_valid & los
+
+    enter = node_costs(dgraph, node_weight,
+                       inscribed_radius=inscribed_radius,
+                       inflation_descending_rate=inflation_descending_rate)
+    return PlanPrep(start_idx=start_idx, goal_idx=goal_idx, sg_ok=s_ok & g_ok,
+                    graph_valid=graph_valid, enter=enter, warm_dist=warm_dist)
+
+
+def plan_finish(cfg: GlobalPlannerConfig, graph_idx, graph_dist, ground,
+                prep: PlanPrep, dist_relaxed, iters, *,
+                turn_pen=None, wf_bins=None) -> GlobalPathResult:
+    """Extraction + result assembly AFTER the relaxation. ``dist_relaxed``
+    is (G, B) (turning) or (G,) (plain)."""
+    if cfg.turning_weight > 0.0:
+        ids, valid, length, p_ok = extract_path_turning(
+            graph_idx, graph_dist, prep.graph_valid, prep.enter,
+            dist_relaxed, wf_bins, prep.start_idx, prep.goal_idx, ground,
+            cfg.turning_weight, max_len=cfg.max_path_len, turn_pen=turn_pen)
+        dist_to_goal = jnp.min(dist_relaxed, axis=1)
+    else:
+        ids, valid, length, p_ok = extract_path(
+            graph_idx, graph_dist, prep.graph_valid, prep.enter,
+            dist_relaxed, prep.start_idx, prep.goal_idx,
+            max_len=cfg.max_path_len, turning_weight=0.0, positions=ground)
+        dist_to_goal = dist_relaxed
+    ok = prep.sg_ok & p_ok
+    # A relaxation that hit max_iters did NOT converge — typically a
+    # region became unreachable and its stale finite values can only
+    # creep upward, which would pin EVERY subsequent warm tick at
+    # max_iters (review finding, reproduced on a cut-off pocket). Reset
+    # the carry to the inf-init in that case: the next tick pays one
+    # bounded cold solve (which settles unreachable nodes at inf) and
+    # warm ticks resume after.
+    dist_carry = jnp.where(iters >= cfg.max_relax_iters, jnp.inf,
+                           dist_relaxed)
+    return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
+                            length=jnp.where(ok, length, 0), ok=ok,
+                            dist_to_goal=dist_to_goal, dist_carry=dist_carry,
+                            goal_idx=prep.goal_idx, iters=iters)
+
+
 def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
                   ground, ground_valid, dgraph, node_weight, avg_intensity,
                   start_pos, goal_pos, *, inscribed_radius: float,
@@ -64,65 +142,34 @@ def plan_on_graph(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
     ``result.goal_idx`` as ``warm_dist`` / ``warm_goal_idx``; the
     relaxation then re-converges from the old field (O(change) iterations
     instead of O(path-diameter) — see `wavefront_distances`). The warm
-    field is discarded automatically when the snapped goal node changed."""
-    from dddmr_navigation_tpu.planning.global_.los import long_edge_los_mask
+    field is discarded automatically when the snapped goal node changed.
 
-    start_idx, s_ok = snap_to_ground(ground, ground_valid, start_pos)
-    goal_idx, g_ok = snap_to_ground(ground, ground_valid, goal_pos)
-
-    if warm_dist is not None:
-        same_goal = (goal_idx == warm_goal_idx) if warm_goal_idx is not None \
-            else jnp.asarray(True)
-        warm_dist = jnp.where(same_goal, warm_dist, jnp.inf)
-
-    if lethal_pts is not None and cfg.max_long_edges > 0:
-        los = long_edge_los_mask(
-            graph_idx, graph_dist, graph_valid, ground, lethal_pts,
-            lethal_valid, inscribed_radius=inscribed_radius,
-            max_long_edges=cfg.max_long_edges, samples=cfg.los_samples)
-        graph_valid = graph_valid & los
-
-    enter = node_costs(dgraph, node_weight,
-                       inscribed_radius=inscribed_radius,
-                       inflation_descending_rate=inflation_descending_rate)
+    Internally `plan_prepare` → relax → `plan_finish`; fleets sharing one
+    graph call the pieces with a joint node-major relaxation instead
+    (`parallel/fleet.py`)."""
+    prep = plan_prepare(
+        cfg, graph_idx, graph_dist, graph_valid, ground, ground_valid,
+        dgraph, node_weight, start_pos, goal_pos,
+        inscribed_radius=inscribed_radius,
+        inflation_descending_rate=inflation_descending_rate,
+        lethal_pts=lethal_pts, lethal_valid=lethal_valid,
+        warm_dist=warm_dist, warm_goal_idx=warm_goal_idx)
     if cfg.turning_weight > 0.0:
         # direction-expanded relaxation carries θ·w_turn exactly
         dist_gb, edge_bins, iters = wavefront_distances_turning(
-            graph_idx, graph_dist, graph_valid, enter, avg_intensity,
-            goal_idx, ground, cfg.turning_weight,
+            graph_idx, graph_dist, prep.graph_valid, prep.enter,
+            avg_intensity, prep.goal_idx, ground, cfg.turning_weight,
             n_dir_bins=cfg.turning_dir_bins, max_iters=cfg.max_relax_iters,
-            dist0=warm_dist, az=wf_az, bin_of_edge=wf_bins)
-        ids, valid, length, p_ok = extract_path_turning(
-            graph_idx, graph_dist, graph_valid, enter, dist_gb, edge_bins,
-            start_idx, goal_idx, ground, cfg.turning_weight,
-            max_len=cfg.max_path_len, turn_pen=turn_pen)
-        dist_to_goal = jnp.min(dist_gb, axis=1)
-        dist_carry = dist_gb
-    else:
-        wf = wavefront_distances(graph_idx, graph_dist, graph_valid, enter,
-                                 avg_intensity, goal_idx,
-                                 max_iters=cfg.max_relax_iters,
-                                 dist0=warm_dist)
-        ids, valid, length, p_ok = extract_path(
-            graph_idx, graph_dist, graph_valid, enter, wf.dist, start_idx,
-            goal_idx, max_len=cfg.max_path_len,
-            turning_weight=0.0, positions=ground)
-        dist_to_goal = wf.dist
-        dist_carry = wf.dist
-        iters = wf.iters
-    ok = s_ok & g_ok & p_ok
-    # A relaxation that hit max_iters did NOT converge — typically a
-    # region became unreachable and its stale finite values can only
-    # creep upward, which would pin EVERY subsequent warm tick at
-    # max_iters (review finding, reproduced on a cut-off pocket). Reset
-    # the carry to the inf-init in that case: the next tick pays one
-    # bounded cold solve (which settles unreachable nodes at inf) and
-    # warm ticks resume after.
-    dist_carry = jnp.where(iters >= cfg.max_relax_iters, jnp.inf, dist_carry)
-    return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
-                            length=jnp.where(ok, length, 0), ok=ok,
-                            dist_to_goal=dist_to_goal, dist_carry=dist_carry,
-                            goal_idx=goal_idx, iters=iters)
+            dist0=prep.warm_dist, az=wf_az, bin_of_edge=wf_bins)
+        return plan_finish(cfg, graph_idx, graph_dist, ground, prep,
+                           dist_gb, iters, turn_pen=turn_pen,
+                           wf_bins=edge_bins)
+    wf = wavefront_distances(graph_idx, graph_dist, prep.graph_valid,
+                             prep.enter, avg_intensity, prep.goal_idx,
+                             max_iters=cfg.max_relax_iters,
+                             dist0=prep.warm_dist)
+    return plan_finish(cfg, graph_idx, graph_dist, ground, prep,
+                       wf.dist, wf.iters)
 
 
 def path_to_poses(cfg: GlobalPlannerConfig, ground: np.ndarray,

@@ -250,6 +250,120 @@ def wavefront_distances(nbr_idx, nbr_dist, nbr_valid, enter_cost, avg_intensity,
     return WavefrontResult(dist=dist, reachable=jnp.isfinite(dist), iters=iters)
 
 
+def fleet_wavefront_distances_turning(nbr_idx, nbr_dist, nbr_valid_r,
+                                      enter_cost_r, avg_intensity,
+                                      goal_idx_r, turning_weight: float, *,
+                                      az, bin_of_edge, n_dir_bins: int = 16,
+                                      max_iters: int = 512, dist0_r=None):
+    """Direction-expanded relaxation for a FLEET sharing one graph.
+
+    A vmap of :func:`wavefront_distances_turning` makes each robot gather
+    its own (G,K,B) neighbor rows — R separate gather passes per
+    iteration, and the gather COUNT is what the relaxation pays for on
+    TPU. Since every robot shares the same ``nbr_idx``, the fleet's
+    fields can ride ONE gather in node-major layout: ``dist`` is
+    (G, R, B) and ``dist.reshape(G, R·B)[safe_idx]`` fetches ALL robots'
+    bin vectors for a neighbor in a single (R·B)-lane row — the gather
+    count drops R-fold (64× at config-4 scale) while the update math
+    stays the per-robot Bellman operator, element for element.
+
+    Args mirror the single-robot version with a leading robot axis where
+    per-robot: ``nbr_valid_r``/``enter_cost_r``/``goal_idx_r``/
+    ``dist0_r`` are (R,G,K)/(R,G)/(R,)/(R,G,B).
+
+    Returns (dist (R,G,B), iters ()). ``iters`` is the shared count (the
+    vmapped form also runs every lane to the slowest robot's fixpoint).
+    """
+    g, k = nbr_idx.shape
+    r = enter_cost_r.shape[0]
+    b = n_dir_bins
+    big = jnp.float32(jnp.inf)
+    safe_idx = jnp.maximum(nbr_idx, 0)
+    centers = -jnp.pi + (jnp.arange(b, dtype=jnp.float32) + 0.5) \
+        * (2.0 * jnp.pi / b)
+    bins_iota = jnp.arange(b)
+
+    # node-major per-robot tensors, gathered/hoisted once
+    enter_t = jnp.moveaxis(enter_cost_r, 0, 1)             # (G, R)
+    enter_g = enter_t[safe_idx]                            # (G, K, R)
+    valid_gkr = jnp.moveaxis(nbr_valid_r, 0, 2)            # (G, K, R)
+    if dist0_r is None:
+        dist0 = jnp.full((g, r, b), big)
+    else:
+        dist0 = jnp.moveaxis(dist0_r, 0, 1)                # (G, R, B)
+    node_iota = jnp.arange(g)
+    goal_mask = node_iota[:, None] == goal_idx_r[None, :]  # (G, R)
+    dist0 = jnp.where(goal_mask[:, :, None], 0.0, dist0)
+
+    def body(carry):
+        dist, _, it = carry                                # (G, R, B)
+        bin_sel = jnp.where(
+            bin_of_edge[:, :, None] == bins_iota[None, None, :],
+            0.0, big)                                      # (G, K, B)
+        dtheta = _theta_capped(jnp.abs(_wrap_angle(
+            az[:, :, None] - centers[None, None, :])))     # (G, K, B)
+        nd = dist.reshape(g, r * b)[safe_idx].reshape(g, k, r, b)
+        nd_in = jnp.min(nd + bin_sel[:, :, None, :], axis=3)   # (G, K, R)
+        base = (nd_in + nbr_dist[:, :, None] + enter_g
+                + avg_intensity[:, None, None])            # (G, K, R)
+        base = jnp.where(valid_gkr, base, big)
+        cand = base[:, :, :, None] \
+            + turning_weight * dtheta[:, :, None, :]       # (G, K, R, B)
+        new = jnp.min(cand, axis=1)                        # (G, R, B)
+        new = jnp.where(goal_mask[:, :, None], 0.0, new)
+        changed = jnp.any(new != dist)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    dist, _, iters = lax.while_loop(
+        cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    return jnp.moveaxis(dist, 0, 1), iters                 # (R, G, B)
+
+
+def fleet_wavefront_distances(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
+                              avg_intensity, goal_idx_r, *,
+                              max_iters: int = 512, dist0_r=None):
+    """Plain (turning_weight == 0) fleet relaxation sharing one graph —
+    the node-major one-gather-for-all-robots trick of
+    :func:`fleet_wavefront_distances_turning` with the field as (G, R).
+
+    Returns (dist (R, G), iters ())."""
+    g, k = nbr_idx.shape
+    r = enter_cost_r.shape[0]
+    big = jnp.float32(jnp.inf)
+    safe_idx = jnp.maximum(nbr_idx, 0)
+    enter_t = jnp.moveaxis(enter_cost_r, 0, 1)             # (G, R)
+    enter_g = enter_t[safe_idx]                            # (G, K, R)
+    valid_gkr = jnp.moveaxis(nbr_valid_r, 0, 2)            # (G, K, R)
+    dist0 = (jnp.full((g, r), big) if dist0_r is None
+             else jnp.moveaxis(dist0_r, 0, 1))
+    node_iota = jnp.arange(g)
+    goal_mask = node_iota[:, None] == goal_idx_r[None, :]  # (G, R)
+    dist0 = jnp.where(goal_mask, 0.0, dist0)
+
+    def body(carry):
+        dist, _, it = carry                                # (G, R)
+        nd = dist[safe_idx]                                # (G, K, R)
+        cand = nd + nbr_dist[:, :, None] + enter_g \
+            + avg_intensity[:, None, None]
+        cand = jnp.where(valid_gkr, cand, big)
+        new = jnp.min(cand, axis=1)                        # (G, R)
+        new = jnp.where(goal_mask, 0.0, new)
+        changed = jnp.any(new != dist)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    dist, _, iters = lax.while_loop(
+        cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    return jnp.moveaxis(dist, 0, 1), iters                 # (R, G)
+
+
 def extract_path_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist_gb,
                          bin_of_edge, start_idx, goal_idx, positions,
                          turning_weight: float, *, max_len: int = 512,

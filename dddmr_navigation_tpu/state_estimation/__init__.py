@@ -6,7 +6,8 @@ from dddmr_navigation_tpu.state_estimation.pf import (
     add_pose_noise, refresh_odom_noise, covariance)
 from dddmr_navigation_tpu.state_estimation.likelihood import (
     DistanceField, SubmapContext, build_distance_field, sample_distance,
-    build_submap_context, measure_all)
+    sample_nearest_point, build_submap_context, measure_all,
+    measure_all_corr)
 from dddmr_navigation_tpu.state_estimation.mcl import (
     MCLState, MCLOutput, init_mcl, mcl_update, motion_gate, relative_odom)
 from dddmr_navigation_tpu.state_estimation.submaps import (

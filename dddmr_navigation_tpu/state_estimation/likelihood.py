@@ -36,10 +36,24 @@ from dddmr_navigation_tpu.config import MCLConfig
 
 
 class DistanceField(NamedTuple):
-    """Dense EDT over a padded AABB; trilinear-sampled on device."""
+    """Dense EDT over a padded AABB; trilinear-sampled on device.
+
+    Optional precomputed layouts (built host-side, once, at
+    ``build_distance_field`` time — an advisor finding: deriving the
+    z-packed layout inside every traced sample call makes XLA materialize
+    a fresh HBM copy of the field per program):
+
+    * ``packed`` — the (Nx, Ny, nz8, 8) z-packed layout the ``nearest``
+      sampling mode row-gathers from.
+    * ``near_pt`` — (Nx, Ny, Nz, 4) per-voxel [x, y, z, dist] of the
+      NEAREST occupied voxel center (the EDT's Voronoi owner), enabling
+      correspondence-cached sampling (``sample_nearest_point``).
+    """
     dist: jnp.ndarray    # (Nx, Ny, Nz) f32 distance to nearest cloud point
     origin: jnp.ndarray  # (3,) f32 world position of voxel center (0,0,0)
     res: float           # static
+    packed: object = None   # (Nx, Ny, ceil(Nz/8), 8) or None
+    near_pt: object = None  # (Nx, Ny, Nz, 4) or None
 
 
 class SubmapContext(NamedTuple):
@@ -54,9 +68,27 @@ class SubmapContext(NamedTuple):
     ground_xy_origin: jnp.ndarray  # (2,)
 
 
+def _pack_z(edt: np.ndarray) -> np.ndarray:
+    """Host-side z-packed (Nx, Ny, ceil(Nz/8), 8) layout with +inf pad
+    lanes (the masked-min lane select never picks a pad lane)."""
+    nz = edt.shape[2]
+    nz8 = -(-nz // 8)
+    return np.pad(edt, ((0, 0), (0, 0), (0, nz8 * 8 - nz)),
+                  constant_values=np.inf).reshape(
+        edt.shape[0], edt.shape[1], nz8, 8)
+
+
 def build_distance_field(points: np.ndarray, res: float, pad: float,
-                         max_cells: int = 512) -> DistanceField:
-    """Host-side EDT of a point cloud over its padded AABB."""
+                         max_cells: int = 512, pack: bool = True,
+                         with_nearest: bool = False) -> DistanceField:
+    """Host-side EDT of a point cloud over its padded AABB.
+
+    ``with_nearest`` additionally stores, per voxel, the world coordinates
+    of the nearest occupied voxel center (+ the distance, packed as 4
+    gather lanes) — the Voronoi-owner raster that correspondence-cached
+    sampling (``field_sampling='corr'``) reads once per feature point
+    instead of once per (particle × point). Costs 4× the field's memory;
+    leave off for very large fields that only trilinear-sample."""
     from scipy import ndimage
 
     points = np.asarray(points, np.float32)[:, :3]
@@ -67,10 +99,54 @@ def build_distance_field(points: np.ndarray, res: float, pad: float,
     occ = np.zeros(tuple(dims), bool)
     ci = np.clip(((points - mn) / res).astype(np.int64), 0, dims - 1)
     occ[ci[:, 0], ci[:, 1], ci[:, 2]] = True
-    edt = ndimage.distance_transform_edt(~occ, sampling=res).astype(np.float32)
+    near_pt = None
+    origin = (mn + 0.5 * res).astype(np.float32)
+    if with_nearest:
+        from scipy.spatial import cKDTree
+
+        edt, inds = ndimage.distance_transform_edt(
+            ~occ, sampling=res, return_indices=True)
+        edt = edt.astype(np.float32)
+        # Owner = an ACTUAL cloud point (the first point binned into the
+        # owner voxel), not the voxel center: |q − owner| is then the
+        # exact distance to a real cloud point, so on-cloud queries score
+        # ~0 like the reference's KD-tree NN (voxel centers would floor
+        # every distance at the ~res/2 center offset).
+        rep = np.zeros(tuple(dims) + (3,), np.float32)
+        rep[ci[::-1, 0], ci[::-1, 1], ci[::-1, 2]] = points[::-1]
+        nn_world = rep[inds[0], inds[1], inds[2]]         # (Nx, Ny, Nz, 3)
+        # Surface normal at each cloud point (kNN PCA — the same
+        # construction build_submap_context uses for ground normals):
+        # correspondence-cached scoring is point-to-PLANE, so sliding
+        # along a locally flat surface stays unpenalized (the aperture a
+        # re-searched NN would also leave open).
+        k = int(min(10, len(points)))
+        if k >= 3:
+            tree = cKDTree(points)
+            _, nb = tree.query(points, k=k)
+            nbp = points[nb]                               # (P, k, 3)
+            c = nbp - nbp.mean(1, keepdims=True)
+            cov = np.einsum("pki,pkj->pij", c, c)
+            _, vecs = np.linalg.eigh(cov)
+            normals = vecs[:, :, 0].astype(np.float32)     # smallest eigval
+        else:
+            normals = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32),
+                              (len(points), 1))
+        repn = np.zeros(tuple(dims) + (3,), np.float32)
+        repn[ci[::-1, 0], ci[::-1, 1], ci[::-1, 2]] = normals[::-1]
+        nn_normal = repn[inds[0], inds[1], inds[2]]        # (Nx, Ny, Nz, 3)
+        pad_lane = np.zeros(edt.shape + (1,), np.float32)
+        near_pt = jnp.asarray(np.concatenate(
+            [nn_world, edt[..., None], nn_normal, pad_lane],
+            axis=-1))                                      # (Nx, Ny, Nz, 8)
+    else:
+        edt = ndimage.distance_transform_edt(
+            ~occ, sampling=res).astype(np.float32)
     return DistanceField(dist=jnp.asarray(edt),
-                         origin=jnp.asarray(mn + 0.5 * res),
-                         res=float(res))
+                         origin=jnp.asarray(origin),
+                         res=float(res),
+                         packed=jnp.asarray(_pack_z(edt)) if pack else None,
+                         near_pt=near_pt)
 
 
 def sample_distance(field: DistanceField, pts, method: str = "trilinear"):
@@ -103,13 +179,19 @@ def sample_distance(field: DistanceField, pts, method: str = "trilinear"):
         # measures the full flat+less_sharp clouds per particle,
         # `lidar_measurement_model_likelihood.cpp:96-115`). x + 0.0 == x,
         # so the selected value is bit-identical to the direct read (the
-        # +inf pad lanes never win the min for in-range iz).
-        nz = field.dist.shape[2]
-        nz8 = -(-nz // 8)
-        packed = jnp.pad(field.dist, ((0, 0), (0, 0), (0, nz8 * 8 - nz)),
-                         constant_values=jnp.inf)
-        packed = packed.reshape(field.dist.shape[0], field.dist.shape[1],
-                                nz8, 8)
+        # +inf pad lanes never win the min for in-range iz). The packed
+        # layout comes precomputed from build_distance_field (advisor
+        # finding: re-deriving it per traced call materializes an HBM
+        # copy of the whole field per program).
+        if field.packed is not None:
+            packed = field.packed
+        else:
+            nz = field.dist.shape[2]
+            nz8 = -(-nz // 8)
+            packed = jnp.pad(field.dist, ((0, 0), (0, 0), (0, nz8 * 8 - nz)),
+                             constant_values=jnp.inf)
+            packed = packed.reshape(field.dist.shape[0], field.dist.shape[1],
+                                    nz8, 8)
         rows = packed[i[..., 0], i[..., 1], i[..., 2] // 8]    # (..., 8)
         lane_sel = jnp.where(
             (i[..., 2] % 8)[..., None] == jnp.arange(8), 0.0, jnp.inf)
@@ -135,9 +217,32 @@ def sample_distance(field: DistanceField, pts, method: str = "trilinear"):
     return d + oob
 
 
+def sample_nearest_point(field: DistanceField, pts):
+    """Voronoi-owner lookup: the nearest cloud point (and its surface
+    normal) for each query point (..., 3) → ((..., 3) owner coords,
+    (...,) field distance at the query's cell, (..., 3) owner surface
+    normal). ONE 8-lane row gather per point from the precomputed
+    ``near_pt`` raster.
+
+    This is the gather half of correspondence-cached likelihood scoring:
+    the owner is looked up ONCE per feature point (at a reference pose)
+    and every particle then scores against the fixed owner with pure VPU
+    math (see :func:`measure_all_corr` for the distance model)."""
+    if field.near_pt is None:
+        raise ValueError("field built without with_nearest=True")
+    g = (pts - field.origin) / field.res
+    dims = jnp.asarray(field.dist.shape, jnp.float32)
+    gc = jnp.clip(g, 0.0, dims - 1.0 - 1e-4)
+    i = jnp.round(gc).astype(jnp.int32)
+    i = jnp.minimum(i, jnp.asarray(field.dist.shape, jnp.int32) - 1)
+    rows = field.near_pt[i[..., 0], i[..., 1], i[..., 2]]   # (..., 8)
+    return rows[..., :3], rows[..., 3], rows[..., 4:7]
+
+
 def build_submap_context(map_pts: np.ndarray, ground_pts: np.ndarray,
                          cfg: MCLConfig, res: float = 0.15,
-                         normal_knn: int = 12) -> SubmapContext:
+                         normal_knn: int = 12,
+                         with_nearest: bool = True) -> SubmapContext:
     """Preprocess a submap's map/ground clouds (host, NumPy/SciPy).
 
     Ground normals: per ground point, PCA plane normal of its kNN
@@ -150,8 +255,10 @@ def build_submap_context(map_pts: np.ndarray, ground_pts: np.ndarray,
 
     map_pts = np.asarray(map_pts, np.float32)[:, :3]
     ground_pts = np.asarray(ground_pts, np.float32)[:, :3]
-    map_field = build_distance_field(map_pts, res, pad=2.0)
-    ground_field = build_distance_field(ground_pts, res, pad=2.0)
+    map_field = build_distance_field(map_pts, res, pad=2.0,
+                                     with_nearest=with_nearest)
+    ground_field = build_distance_field(ground_pts, res, pad=2.0,
+                                        with_nearest=with_nearest)
 
     # kNN PCA normals for ground points.
     tree = cKDTree(ground_pts)
@@ -269,3 +376,89 @@ def measure_all(ctx: SubmapContext, cfg: MCLConfig, flat_pts, flat_mask,
         lambda p, q: measure_likelihood(ctx, cfg, flat_pts, flat_mask,
                                         sharp_pts, sharp_mask, sharp_weight,
                                         p, q))(pf_pos, pf_quat)
+
+
+def measure_all_corr(ctx: SubmapContext, cfg: MCLConfig, flat_pts, flat_mask,
+                     sharp_pts, sharp_mask, sharp_weight, pf_pos, pf_quat,
+                     pose0_pos, pose0_quat):
+    """Correspondence-cached particle scoring (``field_sampling='corr'``).
+
+    The reference KD-tree-queries the nearest map point per (particle ×
+    feature point) (`lidar_measurement_model_likelihood.cpp:196-249`);
+    the 'nearest'/'trilinear' modes here do the same via one EDT gather
+    per (particle × point). At fleet scale the GATHER COUNT is what binds
+    the MCL stage (~3.9 M/tick measured ≈ 57 ms). This mode looks the
+    correspondence up ONCE per feature point, at the odometry-predicted
+    reference pose ``pose0`` — the Voronoi owner of the point's cell via
+    :func:`sample_nearest_point` — and every particle then scores the
+    EXACT Euclidean distance ``|T_p·x − nn|`` to that fixed owner with
+    pure elementwise math: N_points gathers + N_particles·N_points VPU
+    flops instead of N_particles·N_points gathers.
+
+    Distance model (point-to-plane with a bounded patch): with Δ =
+    ``T_p·x − nn`` and n̂ the owner's surface normal,
+
+        d_p = max(|Δ·n̂|, |Δ| − r_patch),   r_patch = corr_patch_cells·res
+
+    |Δ·n̂| keeps the aperture a re-searched NN would leave open — sliding
+    along a locally flat wall/ground patch costs nothing (plain
+    point-to-point |Δ| would falsely constrain the tangent direction and
+    anchor the filter to the odometry-predicted pose, killing drift
+    correction). The |Δ| − r_patch term bounds the free slide to the
+    local patch the cached owner can stand in for — beyond it the owner
+    would genuinely have changed, and the bound keeps d_p a lower bound
+    of |Δ| rather than letting particles ride an infinite plane.
+
+    Exact at the reference pose; within the particle cloud's spread the
+    error vs a re-searched NN is O(surface curvature · spread²) plus the
+    patch-boundary cases, and the owner set is SHARED by all particles,
+    so cross-particle ranking (what the filter consumes) is preserved.
+    Regression-tested: closed-loop convergence at the standard bound
+    (``tests/test_state_estimation.py::test_mcl_converges_corr_mode``).
+    This is a TRACKING-mode accelerator — for global relocalization
+    (expansion-scale spreads ≫ r_patch) prefer 'nearest'/'trilinear'.
+
+    Returns (likelihood (N,), match_ratio (N,)).
+    """
+    r_patch = getattr(cfg, "corr_patch_cells", 2.0) * ctx.map_field.res
+
+    # One gather pass at the reference pose:
+    fp0 = quat_rotate(pose0_quat[None, :], flat_pts) + pose0_pos[None, :]
+    sp0 = quat_rotate(pose0_quat[None, :], sharp_pts) + pose0_pos[None, :]
+    nn_flat_g, _, n_flat_g = sample_nearest_point(ctx.ground_field, fp0)
+    nn_flat_m, _, n_flat_m = sample_nearest_point(ctx.map_field, fp0)
+    nn_sharp_m, _, n_sharp_m = sample_nearest_point(ctx.map_field, sp0)
+
+    def pp_dist(q, nn, nrm):
+        delta = q - nn
+        along = jnp.abs(jnp.sum(delta * nrm, axis=-1))
+        full = jnp.linalg.norm(delta, axis=-1)
+        return jnp.maximum(along, full - r_patch)
+
+    def one(pos, quat):
+        fp = quat_rotate(quat[None, :], flat_pts) + pos[None, :]
+        sp = quat_rotate(quat[None, :], sharp_pts) + pos[None, :]
+        pos_w, trusted = _pos_weight(ctx, cfg, pos, quat)
+
+        d_flat_g = pp_dist(fp, nn_flat_g, n_flat_g)
+        d_flat_m = pp_dist(fp, nn_flat_m, n_flat_m)
+        d_flat = jnp.where(trusted, d_flat_g, d_flat_m)
+        matched_f = flat_mask & (d_flat <= cfg.match_dist_min)
+        sc_f = cfg.match_dist_min - jnp.maximum(d_flat, cfg.match_dist_flat)
+        sc_f = jnp.where(matched_f & (sc_f >= 0.0), sc_f * sc_f, 0.0)
+
+        d_sharp = pp_dist(sp, nn_sharp_m, n_sharp_m)
+        matched_s = sharp_mask & (d_sharp <= cfg.match_dist_min)
+        sc_s = cfg.match_dist_min - jnp.maximum(d_sharp, cfg.match_dist_flat)
+        sc_s = jnp.where(matched_s & (sc_s >= 0.0),
+                         sc_s * sc_s / jnp.maximum(sharp_weight, 1e-6), 0.0)
+
+        score = (jnp.sum(sc_f) + jnp.sum(sc_s)) * pos_w
+        total = jnp.maximum(jnp.sum(flat_mask) + jnp.sum(sharp_mask), 1)
+        num = (jnp.sum(matched_f
+                       & (cfg.match_dist_min
+                          - jnp.maximum(d_flat, cfg.match_dist_flat) >= 0))
+               + jnp.sum(matched_s))
+        return score, num.astype(jnp.float32) / total.astype(jnp.float32)
+
+    return jax.vmap(one)(pf_pos, pf_quat)

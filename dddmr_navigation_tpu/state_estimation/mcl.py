@@ -27,7 +27,7 @@ from dddmr_navigation_tpu.geometry import (
     quat_from_rpy, rpy_from_quat)
 from dddmr_navigation_tpu.state_estimation import pf as pflib
 from dddmr_navigation_tpu.state_estimation.likelihood import (
-    SubmapContext, measure_all)
+    SubmapContext, measure_all, measure_all_corr)
 
 
 class Lpf3(NamedTuple):
@@ -126,8 +126,21 @@ def mcl_update(cfg: MCLConfig, ctx: SubmapContext, state: MCLState,
     p = pflib.predict_diff_drive(p, rel_trans, rel_quat, rel_angle, dt, cfg)
 
     # --- measure ----------------------------------------------------------
-    like, ratio = measure_all(ctx, cfg, flat_pts, flat_mask, sharp_pts,
-                              sharp_mask, sharp_weight, p.pos, p.quat)
+    if getattr(cfg, "field_sampling", "trilinear") == "corr":
+        # correspondence-cached scoring: owners looked up once at the
+        # odometry-predicted pose (previous expectation ∘ relative odom),
+        # particles score exact distances to the cached owners (see
+        # likelihood.measure_all_corr for the error model)
+        pose0_pos = state.state_prev_pos + quat_rotate(
+            state.state_prev_quat, rel_trans)
+        pose0_quat = quat_normalize(
+            quat_multiply(state.state_prev_quat, rel_quat))
+        like, ratio = measure_all_corr(
+            ctx, cfg, flat_pts, flat_mask, sharp_pts, sharp_mask,
+            sharp_weight, p.pos, p.quat, pose0_pos, pose0_quat)
+    else:
+        like, ratio = measure_all(ctx, cfg, flat_pts, flat_mask, sharp_pts,
+                                  sharp_mask, sharp_weight, p.pos, p.quat)
     p = pflib.measure(p, like)
     match_ratio_max = jnp.max(ratio)
 

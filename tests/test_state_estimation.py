@@ -1,6 +1,7 @@
 """State-estimation tests: particle filter semantics vs the reference's
 pf.h behavior, measurement-model properties, MCL convergence on a
 synthetic world, pose-graph IO round-trip, odom_3d integration."""
+import dataclasses
 import functools
 
 import numpy as np
@@ -11,8 +12,9 @@ import pytest
 from dddmr_navigation_tpu.config import MCLConfig
 from dddmr_navigation_tpu.state_estimation import (
     init_particles, predict_diff_drive, measure, resample, covariance,
-    expectation, build_distance_field, sample_distance, build_submap_context,
-    measure_all, init_mcl, mcl_update, relative_odom, motion_gate,
+    expectation, build_distance_field, sample_distance, sample_nearest_point,
+    build_submap_context, measure_all, measure_all_corr, init_mcl,
+    mcl_update, relative_odom, motion_gate,
     PoseGraph, write_pose_graph, read_pose_graph, stitch_submap,
     init_odom3d, integrate_log)
 from dddmr_navigation_tpu.state_estimation.mcl import lpf_set, lpf_in
@@ -109,6 +111,48 @@ def test_distance_field_accuracy():
     np.testing.assert_allclose(d, [1.0, 0.5, 0.4], atol=0.12)
 
 
+def test_sample_nearest_point_matches_edt():
+    """The Voronoi-owner raster returns a REAL cloud point whose distance
+    to the query reproduces the exact nearest-cloud distance within the
+    EDT's voxel quantization (and never underestimates it)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-2, 2, size=(40, 3)).astype(np.float32)
+    res = 0.1
+    fld = build_distance_field(pts, res=res, pad=1.0, with_nearest=True)
+    q = rng.uniform(-2.5, 2.5, size=(64, 3)).astype(np.float32)
+    nn, d_cell, nrm = sample_nearest_point(fld, jnp.asarray(q))
+    nn = np.asarray(nn)
+    # every owner is an actual cloud point, every normal a unit vector
+    d_owner = np.min(np.linalg.norm(nn[:, None, :] - pts[None], axis=-1), 1)
+    assert np.max(d_owner) < 1e-6
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(nrm), axis=-1),
+                               1.0, atol=1e-4)
+    d_true = np.min(np.linalg.norm(q[:, None, :] - pts[None], axis=-1), 1)
+    d_corr = np.linalg.norm(q - nn, axis=-1)
+    assert np.all(d_corr >= d_true - 1e-5)     # nn is SOME cloud point
+    # voxel quantization: the owner's voxel is nearest cell-to-cell, so the
+    # chosen point is within ~2 cell diagonals of optimal
+    assert np.max(d_corr - d_true) < 2.0 * res * np.sqrt(3) + 1e-5
+    # on-cloud queries are exact zeros (the reference KD-tree property)
+    nn0, _, _ = sample_nearest_point(fld, jnp.asarray(pts[:8]))
+    d0 = np.linalg.norm(pts[:8] - np.asarray(nn0), axis=-1)
+    assert np.max(d0) < res * np.sqrt(3)
+
+
+def test_packed_layout_precomputed_matches_adhoc():
+    """build_distance_field's precomputed z-packed layout gives the same
+    nearest-mode samples as the per-call pad/reshape path (advisor fix)."""
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-2, 2, size=(30, 3)).astype(np.float32)
+    fld = build_distance_field(pts, res=0.13, pad=0.8)
+    assert fld.packed is not None
+    fld_nopack = fld._replace(packed=None)
+    q = jnp.asarray(rng.uniform(-2.5, 2.5, size=(32, 3)).astype(np.float32))
+    a = np.asarray(sample_distance(fld, q, method="nearest"))
+    b = np.asarray(sample_distance(fld_nopack, q, method="nearest"))
+    np.testing.assert_array_equal(a, b)
+
+
 def _synthetic_world():
     """Ground plane + two walls; returns (map_pts, ground_pts)."""
     gx, gy = np.meshgrid(np.linspace(-6, 6, 49), np.linspace(-6, 6, 49))
@@ -188,6 +232,98 @@ def test_mcl_converges_on_synthetic_trajectory(world_ctx):
         pos = pos + np.array([v * np.cos(yaw), v * np.sin(yaw), 0.0],
                              np.float32) * 0.25
         # odometry with slight noise (keeps same frame: world == odom here)
+        opos = pos + rng.normal(0, 0.01, 3).astype(np.float32)
+        oyaw = yaw + rng.normal(0, 0.005)
+        flat, flat_m, sharp, sharp_m = _scan_features(
+            map_pts, ground_pts, pos, yaw, rng=np.random.default_rng(t))
+        state, out = step_fn(
+            ctx, state,
+            jnp.asarray(opos_prev), quat_from_yaw(jnp.asarray(oyaw_prev)),
+            jnp.asarray(opos), quat_from_yaw(jnp.asarray(oyaw)),
+            jnp.asarray(0.25),
+            flat, flat_m, sharp, sharp_m, jnp.ones(sharp.shape[0]))
+        opos_prev, oyaw_prev = opos, oyaw
+        errs.append(float(np.linalg.norm(np.asarray(out.pose_pos)[:2]
+                                         - pos[:2])))
+    assert np.mean(errs[-4:]) < 0.45, errs
+    assert float(out.match_ratio_max) > 0.5
+
+
+def test_corr_scoring_overestimates_and_converges_to_exact(world_ctx):
+    """Correspondence-cached distances are ≥ the owner-exact distance and
+    agree with per-particle sampling when particles sit AT the reference
+    pose (the error model of measure_all_corr)."""
+    map_pts, ground_pts, ctx = world_ctx
+    cfg_near = dataclasses.replace(CFG, field_sampling="nearest")
+    pos0 = np.array([0.5, -0.3, 0.0], np.float32)
+    flat, flat_m, sharp, sharp_m = _scan_features(map_pts, ground_pts,
+                                                  pos0, 0.3)
+    w = jnp.ones(sharp.shape[0])
+    q0 = quat_from_yaw(jnp.float32(0.3))
+    # particles exactly at pose0: the cached owner IS each point's owner
+    pp = jnp.broadcast_to(jnp.asarray(pos0), (4, 3))
+    pq = jnp.broadcast_to(q0, (4, 4))
+    l_corr, r_corr = measure_all_corr(ctx, cfg_near, flat, flat_m, sharp,
+                                      sharp_m, w, pp, pq,
+                                      jnp.asarray(pos0), q0)
+    l_near, r_near = measure_all(ctx, cfg_near, flat, flat_m, sharp,
+                                 sharp_m, w, pp, pq)
+    # same match decisions and likelihoods within the voxel quantization
+    # the two formulations round differently ('nearest' reads the cell's
+    # EDT value — an UNDERestimate of the true point distance; 'corr'
+    # measures the exact query→owner distance — a slight overestimate
+    # when the owner cell's point isn't the true nearest)
+    assert abs(float(r_corr[0]) - float(r_near[0])) < 0.2
+    assert float(l_corr[0]) > 0.0
+    # Absolute likelihood scale differs between the modes ('nearest'
+    # reads cell-center-quantized EDT values, so on-cloud features score
+    # below the exact-distance maximum; 'corr' measures exact distances
+    # to real owner points, like the reference KD-tree, and scores
+    # HIGHER at the true pose). The filter normalizes likelihoods and
+    # the owner set is shared across particles, so what matters is the
+    # cross-particle shape — checked by the ranking below and the
+    # closed-loop convergence test at the standard bound. Here: same
+    # order of magnitude, corr at least as peaked at truth.
+    ratio = float(l_corr[0]) / float(l_near[0])
+    assert 0.5 < ratio < 2.5, ratio
+    # spread particles (tracking-scale offsets, within the corr mode's
+    # documented envelope): corr still prefers the true pose over offsets
+    cand = jnp.asarray([pos0, pos0 + np.array([0.2, 0.2, 0], np.float32),
+                        pos0 + np.array([0.45, -0.35, 0.1], np.float32)])
+    cq = jnp.broadcast_to(q0, (3, 4))
+    l3, _ = measure_all_corr(ctx, cfg_near, flat, flat_m, sharp, sharp_m,
+                             w, cand, cq, jnp.asarray(pos0), q0)
+    l3 = np.asarray(l3)
+    assert l3[0] > l3[1] > l3[2]
+    # aperture property: sliding ALONG the ground plane (within the patch)
+    # keeps flat features matched — point-to-point would not
+    slide = jnp.asarray([pos0 + np.array([0.25, 0.0, 0.0], np.float32)])
+    l_s, r_s = measure_all_corr(ctx, cfg_near, flat, flat_m, sharp,
+                                sharp_m, w, slide,
+                                jnp.broadcast_to(q0, (1, 4)),
+                                jnp.asarray(pos0), q0)
+    assert float(r_s[0]) > 0.5
+
+
+def test_mcl_converges_corr_mode(world_ctx):
+    """The closed-loop convergence test of `test_mcl_converges_on_synthetic_
+    trajectory` holds with field_sampling='corr' at the same error bound —
+    the estimate-error-unchanged requirement for the fleet-scale mode."""
+    map_pts, ground_pts, ctx = world_ctx
+    cfg = dataclasses.replace(CFG, field_sampling="corr")
+    rng = np.random.default_rng(7)
+    state = init_mcl(jax.random.PRNGKey(0), cfg,
+                     jnp.asarray([0.2, -0.2, 0.0]), IDQ)
+    step_fn = jax.jit(functools.partial(mcl_update, cfg))
+    pos = np.zeros(3, np.float32)
+    yaw = 0.0
+    opos_prev, oyaw_prev = pos.copy(), yaw
+    errs = []
+    for t in range(14):
+        v, w = 0.4, 0.15
+        yaw += w * 0.25
+        pos = pos + np.array([v * np.cos(yaw), v * np.sin(yaw), 0.0],
+                             np.float32) * 0.25
         opos = pos + rng.normal(0, 0.01, 3).astype(np.float32)
         oyaw = yaw + rng.normal(0, 0.005)
         flat, flat_m, sharp, sharp_m = _scan_features(
