@@ -818,8 +818,11 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True,
                 .astype(jnp.int32))
             err = (jnp.max(diag["mcl_err"]) if localize
                    else jnp.float32(0.0))
+            errm = (jnp.mean(diag["mcl_err"]) if localize
+                    else jnp.float32(0.0))
             return s2, (diag["vx"][0] + found.astype(jnp.float32), found,
-                        diag["decision"], err, jnp.max(diag["wf_iters"]))
+                        diag["decision"], err, jnp.max(diag["wf_iters"]),
+                        errm)
         return body
 
     @jax.jit
@@ -834,10 +837,10 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True,
 
     @jax.jit
     def run(fmap_a, submap_a, states, scans_a, masks_a, goals_a):
-        final, (sync, found, decisions, errs, wfs) = jax.lax.scan(
+        final, (sync, found, decisions, errs, wfs, errms) = jax.lax.scan(
             body_of(fmap_a, submap_a, scans_a, masks_a, goals_a),
             states, 1 + jnp.arange(ticks))
-        return sync, found, decisions, errs, wfs
+        return sync, found, decisions, errs, wfs, errms
 
     scans_j, masks_j, goals_j = (jnp.asarray(scans), jnp.asarray(masks),
                                  jnp.asarray(goals))
@@ -883,10 +886,543 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True,
         "decisions_last_tick": {
             int(k): int(v) for k, v in zip(
                 *np.unique(decisions[-1], return_counts=True))},
+        # max over 64 robots (the tail of 64 independent filters; a
+        # 64-seed solo replica shows corr/nearest error distributions are
+        # statistically identical — ROUND5.md) with the mean alongside
         "mcl_err_last_tick": round(float(_force(out[3])[-1]), 3),
+        "mcl_err_mean_last_tick": round(float(_force(out[5])[-1]), 3),
         "shared_map_nodes": len(ground),
         "compile_s": round(compile_s, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# config 4b: the 64-robot FULL-fidelity fleet on the REAL reference map
+# (27,045 ground nodes / 62,445 map points) — per-robot MCL on drifting
+# odometry against the real map, mark/clear, wavefront replan with mixed
+# goals + warm carries, LOS over the real graph's ~2k long edges, FSM,
+# rotate recovery. Proves the config-4 memory/perf story survives real
+# scale (round-4 review item 3).
+#
+# Design note (goal-field sharing / turning): with 64 DISTINCT goals the
+# per-robot direction-expanded (G,B) fields would put the relaxation's
+# node-major gather at (G,K,R,B) ≈ 886 MB/iteration at 27k nodes. The
+# fleet therefore relaxes the plain node-table field (w_turn = 0,
+# (G,R) ≈ 6.9 MB) — the trade the review offered — and the bench MEASURES
+# what that costs: `turning_cost_delta_pct` re-plans sample pairs solo
+# with the full direction-expanded solver and reports the reference-metric
+# (θ-inclusive) path-cost delta of the w0 paths.
+# ---------------------------------------------------------------------------
+
+def bench_config4_real(robots=64, ticks=10, reps=3, localize=True):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from dataclasses import replace
+    from tools import parity_reference as pr
+    if not pr.assets_available():
+        return {"skipped": "reference assets not mounted"}
+    from dddmr_navigation_tpu.config import (
+        LocalPlannerConfig, DDSimpleGeneratorConfig, MoveBaseConfig,
+        MCLConfig, SpinningLidarConfig)
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from dddmr_navigation_tpu.io.maps import box_obstacle
+    from dddmr_navigation_tpu.control.fused import (
+        build_fused_map, make_fused_tick)
+    from dddmr_navigation_tpu.parallel.fleet import (
+        init_fleet_full_state, fleet_full_tick)
+    from dddmr_navigation_tpu.state_estimation.likelihood import (
+        build_submap_context)
+
+    ctx = pr.load_context()
+    base = ctx.cfg
+    lidar = replace(base.perception.lidar,
+                    scan_effective_positive_start=0.0,
+                    scan_effective_negative_start=0.0,
+                    max_scan_points=2048)
+    cfg = replace(
+        base,
+        perception=replace(base.perception, lidar=lidar,
+                           voxel_window_cells_xy=64,
+                           voxel_window_cells_z=24, max_marked_voxels=512),
+        local_planner=replace(
+            base.local_planner,
+            generator=replace(base.local_planner.generator,
+                              linear_x_sample=16, angular_z_sample=16,
+                              max_num_steps=40),
+            max_obstacle_points=512, collision_obstacle_chunk=16,
+            collision_near_k=128),
+        global_planner=replace(base.global_planner,
+                               turning_weight=0.0,       # see header note
+                               max_long_edges=2048, los_samples=8,
+                               max_lethal_points=1024,
+                               max_relax_iters=1024))
+    mb = MoveBaseConfig()
+    mcl_cfg = MCLConfig(num_particles=60, init_var_x=0.3, init_var_y=0.3,
+                        init_var_z=0.1, init_var_yaw=0.1,
+                        field_sampling="corr")
+
+    ground = ctx.ground
+    fmap = build_fused_map(cfg, ground, ctx.map_pts,
+                           node_weight=ctx.node_weight,
+                           static_dgraph=ctx.static_dgraph,
+                           intensity=ctx.ground_intensity)
+    submap = build_submap_context(ctx.map_pts, ground, mcl_cfg,
+                                  res=0.25) if localize else None
+    _, spec, ri_spec, params = make_fused_tick(cfg)
+
+    b = robots
+    pairs = pr.pick_start_goal_pairs(ctx, b, seed=3, min_separation=20.0)
+    assert len(pairs) == b, f"only {len(pairs)} valid start/goal pairs"
+    positions = ctx.ground[[s for s, _ in pairs]].copy()
+    goals = ctx.ground[[t for _, t in pairs]].copy()
+    quats = np.broadcast_to(
+        np.asarray(quat_from_yaw(jnp.float32(0.0))), (b, 4)).copy()
+    n_pad = cfg.perception.lidar.max_scan_points
+    scans = np.zeros((b, n_pad, 3), np.float32)
+    masks = np.zeros((b, n_pad), bool)
+    for i in range(b):
+        box = box_obstacle([positions[i, 0] + 0.8, positions[i, 1] + 0.55,
+                            positions[i, 2]], size=(0.2, 0.2, 1.0),
+                           resolution=0.1)
+        rel = box - (positions[i] + [0, 0, 0.3])
+        scans[i, :len(rel)] = rel[:n_pad]
+        masks[i, :min(len(rel), n_pad)] = True
+    state0 = init_fleet_full_state(cfg, len(ground), positions, quats,
+                                   localize=localize, mcl_cfg=mcl_cfg)
+    offset = jnp.asarray([0.0, 0.0, 0.3])
+    drift_dir = np.tile(np.array([[0.7, 0.7, 0.0]], np.float32), (b, 1))
+    mapj = jnp.asarray(ctx.map_pts)
+    groundj = jnp.asarray(np.asarray(ground, np.float32))
+
+    tick = partial(fleet_full_tick, cfg, mb, spec, ri_spec, params,
+                   mcl_cfg=(mcl_cfg if localize else None))
+
+    def body_of(fmap_a, submap_a, scans_a, masks_a, goals_a):
+        def body(c, t):
+            now = t.astype(jnp.float32) * 0.1
+            drift = (0.01 * t.astype(jnp.float32))[None, None] \
+                * jnp.asarray(drift_dir)
+            s2, diag = tick(fmap_a, c, scans_a, masks_a, offset, goals_a,
+                            now, jnp.float32(0.1), submap_ctx=submap_a,
+                            odom_drift_pos=drift,
+                            odom_drift_yaw=jnp.zeros((b,)),
+                            feature_map_pts=mapj,
+                            feature_ground_pts=groundj)
+            from dddmr_navigation_tpu.planning.local.planner import (
+                PlannerState)
+            found = jnp.sum(
+                (diag["ps_simple"] == int(PlannerState.TRAJECTORY_FOUND))
+                .astype(jnp.int32))
+            ok = jnp.sum(diag["plan_ok"].astype(jnp.int32))
+            err = (jnp.max(diag["mcl_err"]) if localize
+                   else jnp.float32(0.0))
+            errm = (jnp.mean(diag["mcl_err"]) if localize
+                    else jnp.float32(0.0))
+            return s2, (diag["vx"][0] + found.astype(jnp.float32), found,
+                        ok, err, errm, jnp.max(diag["wf_iters"]))
+        return body
+
+    @jax.jit
+    def warm_one(fmap_a, submap_a, states, scans_a, masks_a, goals_a):
+        s1, _ = body_of(fmap_a, submap_a, scans_a, masks_a, goals_a)(
+            states, jnp.asarray(0))
+        return s1
+
+    @jax.jit
+    def run(fmap_a, submap_a, states, scans_a, masks_a, goals_a):
+        final, outs = jax.lax.scan(
+            body_of(fmap_a, submap_a, scans_a, masks_a, goals_a),
+            states, 1 + jnp.arange(ticks))
+        return outs
+
+    scans_j, masks_j, goals_j = (jnp.asarray(scans), jnp.asarray(masks),
+                                 jnp.asarray(goals))
+    cold_args = (fmap, submap, state0, scans_j, masks_j, goals_j)
+    t0 = time.perf_counter()
+    state1 = jax.block_until_ready(warm_one(*cold_args))
+    warm_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state1 = jax.block_until_ready(warm_one(*cold_args))
+    cold_tick_ms = 1e3 * (time.perf_counter() - t0)
+    warm_compile_s -= cold_tick_ms / 1e3
+
+    def make_args():
+        return (fmap, submap, state1, scans_j, masks_j, goals_j)
+
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    stats = _tick_stats(per_tick)
+    p99_s = stats["p99_tick_ms"] / 1e3
+    s_padded = cfg.local_planner.generator.n_samples_padded
+    return {
+        **stats,
+        "cold_tick_ms": round(cold_tick_ms, 1),
+        "warm_compile_s": round(warm_compile_s, 1),
+        "compile_s": round(compile_s, 1),
+        "robots": b,
+        "map": "reference ground.pcd/map.pcd",
+        "shared_map_nodes": len(ground),
+        "map_points": len(ctx.map_pts),
+        "rollouts_per_tick": b * s_padded,
+        "robots_at_10hz_per_chip": round(b / p99_s / 10.0, 1),
+        "goals": "64 distinct, >=20 m away, mixed directions",
+        "fidelity": ("mcl(60p corr, drifting odom, real map) + mark/clear "
+                     "+ wavefront(w_turn=0 fleet relax, see "
+                     "turning_cost_delta) + LOS(real 2k long edges) + FSM "
+                     "+ rotate recovery"),
+        "found_last_tick": int(_force(out[1])[-1]),
+        "plan_ok_last_tick": int(_force(out[2])[-1]),
+        "warm_wf_iters_last_tick": int(_force(out[5])[-1]),
+        "mcl_err_last_tick": round(float(_force(out[3])[-1]), 3),
+        "mcl_err_mean_last_tick": round(float(_force(out[4])[-1]), 3),
+        "turning_cost_delta_pct": _turning_cost_delta(ctx, pairs[:3]),
+    }
+
+
+def _turning_cost_delta(ctx, pairs):
+    """Reference-metric (θ-inclusive) path-cost delta of w_turn=0 plans vs
+    the full direction-expanded solver, on sample pairs of the real map —
+    the measured price of the fleet's node-table relaxation."""
+    import numpy as np
+    from dataclasses import replace
+    from dddmr_navigation_tpu.planning.global_.runtime import (
+        GlobalPlannerRuntime)
+
+    w_turn = ctx.cfg.global_planner.turning_weight
+    inscribed = ctx.cfg.perception.inscribed_radius
+    rate = ctx.cfg.perception.inflation_descending_rate
+    enter = np.where(
+        ctx.static_dgraph < inscribed, np.inf,
+        np.exp(-rate * (ctx.static_dgraph - inscribed)) + ctx.node_weight)
+    avg_i = np.asarray(ctx.graph.avg_intensity)
+
+    def ref_cost(path):
+        # `a_star_on_pc.cpp:278-288`: step + enter(succ) + intensity(src)
+        # + w_turn * theta(parent, cur, succ) with the capped dead zone
+        from dddmr_navigation_tpu.planning.global_.wavefront import (
+            theta_reference)
+        import jax.numpy as jnp
+        c = 0.0
+        for k in range(len(path) - 1):
+            u, v = path[k], path[k + 1]
+            c += (np.linalg.norm(ctx.ground[u] - ctx.ground[v])
+                  + enter[v] + avg_i[u])
+            if k > 0:
+                c += w_turn * float(theta_reference(
+                    jnp.asarray(ctx.ground[path[k - 1]]),
+                    jnp.asarray(ctx.ground[u]),
+                    jnp.asarray(ctx.ground[v])))
+        return c
+
+    deltas = []
+    for s, t in pairs:
+        costs = {}
+        for w in (w_turn, 0.0):
+            cfg_w = replace(ctx.cfg, global_planner=replace(
+                ctx.cfg.global_planner, turning_weight=w))
+            rt = GlobalPlannerRuntime(cfg_w, ctx.ground,
+                                      node_weight=ctx.node_weight,
+                                      intensity=ctx.ground_intensity)
+            res = rt.plan_result(ctx.ground[s], ctx.ground[t],
+                                 ctx.static_dgraph)
+            if not bool(res.ok):
+                break
+            ids = [int(i) for i in
+                   np.asarray(res.node_ids)[np.asarray(res.node_valid)]]
+            costs[w] = ref_cost(ids)
+        if len(costs) == 2 and np.isfinite(list(costs.values())).all():
+            deltas.append(100.0 * (costs[0.0] - costs[w_turn])
+                          / max(costs[w_turn], 1e-9))
+    return round(float(np.mean(deltas)), 2) if deltas else None
+# GN → scan-to-map GN (the steady-state per-scan device work of
+# slam/pipeline.py), vs the reference's 10 Hz real-time budget
+# (`mapOptimization.cpp:2029` run loop, 16-line lidar at 10 Hz;
+# `imageProjection.cpp:309`). Host-side keyframe insertion/submap rebuild
+# happens every ~1 m (≈20 scans at 0.5 m/s) and is reported separately, as
+# is loop-closure verification latency (ICP + batch pose-graph re-opt).
+# ---------------------------------------------------------------------------
+
+def bench_slam(ticks=20, reps=4, icp_reps=8):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from dddmr_navigation_tpu.config import SlamConfig
+    from dddmr_navigation_tpu.utils import BoxWorld, simulate_scan
+    from dddmr_navigation_tpu.slam import (
+        project, extract_features, match_scans, match_to_map,
+        icp_point2point)
+    from dddmr_navigation_tpu.slam import pose_graph as pg
+    from dddmr_navigation_tpu.geometry import quat_rotate
+
+    cfg = SlamConfig()          # canonical 16 x 1000 projection
+    world = BoxWorld.room(half=8.0) \
+        .add_box([3.0, -1.5, 0], [3.6, 0.5, 1.8]) \
+        .add_box([-2.0, 2.0, 0], [-1.2, 2.6, 1.4])
+    n_pad = cfg.num_vertical_scans * cfg.num_horizontal_scans
+
+    # trajectory of sweeps (ticks scans at ~10 Hz, 0.4 m/s => 4 cm/scan)
+    scans = np.zeros((ticks, n_pad, 3), np.float32)
+    masks = np.zeros((ticks, n_pad), bool)
+    for t in range(ticks):
+        pos = [0.04 * t, 0.01 * t, 0.8]
+        pts, m = simulate_scan(world, pos, 0.005 * t, n_rings=16,
+                               n_cols=1000)
+        scans[t, :len(pts)] = pts
+        masks[t, :len(pts)] = m
+
+    feats_fn = jax.jit(partial(
+        lambda c, p, m: extract_features(c, project(c, p, m)), cfg))
+    ref = jax.block_until_ready(feats_fn(jnp.asarray(scans[0]),
+                                         jnp.asarray(masks[0])))
+
+    # fixed submap in map frame (the accumulated surrounding-keyframe
+    # clouds; steady-state content stands in for the rebuilt queue)
+    sub_sharp = jnp.asarray(np.asarray(ref.less_sharp))
+    sub_sharp_m = jnp.asarray(np.asarray(ref.less_sharp_mask))
+    sub_flat = jnp.asarray(np.asarray(ref.less_flat))
+    sub_flat_m = jnp.asarray(np.asarray(ref.less_flat_mask))
+
+    @jax.jit
+    def run(scans, masks, ref_feats, pos0, quat0):
+        def body(carry, scan_in):
+            pos, quat = carry
+            pts, m = scan_in
+            f = extract_features(cfg, project(cfg, pts, m))
+            p1, q1, _ = match_scans(
+                cfg, f.sharp, f.sharp_mask, f.less_flat[::4],
+                f.less_flat_mask[::4], ref_feats.less_sharp,
+                ref_feats.less_sharp_mask, ref_feats.less_flat,
+                ref_feats.less_flat_mask, init_pos=pos, init_quat=quat,
+                tgt_less_sharp_ring=ref_feats.less_sharp_ring,
+                tgt_less_flat_ring=ref_feats.less_flat_ring)
+            p2, q2, _ = match_to_map(
+                cfg, f.sharp, f.sharp_mask, f.less_flat[::4],
+                f.less_flat_mask[::4], sub_sharp, sub_sharp_m, sub_flat,
+                sub_flat_m, init_pos=p1, init_quat=q1,
+                iters=cfg.map_match_iters)
+            return (p2, q2), p2[0]
+        (pos, quat), xs = jax.lax.scan(
+            body, (pos0, quat0), (scans, masks))
+        return xs[-1], pos, quat
+
+    def make_args():
+        return (jnp.asarray(scans), jnp.asarray(masks), ref,
+                jnp.zeros(3), jnp.asarray([0.0, 0, 0, 1.0]))
+
+    compile_s, per_tick, out = _time_chains(run, make_args, ticks, reps)
+    stats = _tick_stats(per_tick)
+    scans_per_s = 1.0 / (stats["tick_ms"] / 1e3)
+
+    # loop-closure verification latency: ICP between two keyframes + a
+    # batch pose-graph re-optimization, amortized over a chained dispatch
+    f2 = jax.block_until_ready(feats_fn(jnp.asarray(scans[-1]),
+                                        jnp.asarray(masks[-1])))
+    cloud_c = jnp.concatenate([np.asarray(f2.less_flat),
+                               np.asarray(f2.less_sharp)])
+    mask_c = jnp.concatenate([np.asarray(f2.less_flat_mask),
+                              np.asarray(f2.less_sharp_mask)])
+    cloud_h = jnp.concatenate([np.asarray(ref.less_flat),
+                               np.asarray(ref.less_sharp)])
+    mask_h = jnp.concatenate([np.asarray(ref.less_flat_mask),
+                              np.asarray(ref.less_sharp_mask)])
+    graph = pg.empty_graph(64, 128)
+    for i in range(16):
+        graph = pg.add_node(graph, i, jnp.asarray([0.5 * i, 0.0, 0.0]),
+                            jnp.asarray([0.0, 0, 0, 1.0]))
+        if i:
+            graph = pg.add_edge(graph, i - 1, i - 1, i,
+                                jnp.asarray([0.5, 0, 0]),
+                                jnp.asarray([0.0, 0, 0, 1.0]), weight=1.0)
+
+    @jax.jit
+    def loop_run(cloud_c, mask_c, cloud_h, mask_h, graph):
+        def body(carry, _):
+            pos, quat, fit = icp_point2point(
+                cloud_c, mask_c, cloud_h, mask_h, 10, 2.0,
+                jnp.zeros(3) + carry * 1e-9, jnp.asarray([0.0, 0, 0, 1.0]))
+            g2 = pg.optimize_pose_graph(graph, 30)
+            return fit, (pos[0], g2.pos[0, 0])
+        fit, xs = jax.lax.scan(body, jnp.float32(0.0), None,
+                               length=icp_reps)
+        return xs[0][-1], fit
+    t0 = time.perf_counter()
+    _force(loop_run(cloud_c, mask_c, cloud_h, mask_h, graph)[0])
+    loop_compile_s = time.perf_counter() - t0
+    loop_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(loop_run(cloud_c, mask_c, cloud_h, mask_h, graph)[0])
+        loop_ts.append((time.perf_counter() - t0) / icp_reps)
+
+    import numpy as np
+    return {
+        **stats,
+        "scans_per_s": round(scans_per_s, 1),
+        "projection": f"{cfg.num_vertical_scans}x{cfg.num_horizontal_scans}",
+        "stages": ("project -> features -> scan-to-keyframe GN -> "
+                   "scan-to-map GN (steady-state per-scan device work)"),
+        # the reference consumes a 16-line lidar at 10 Hz in real time on
+        # a Jetson (`mapOptimization.cpp:2029`); realtime factor >1 means
+        # faster than the sensor produces sweeps
+        "realtime_factor_vs_10hz": round(scans_per_s / 10.0, 1),
+        "loop_closure_ms": round(1e3 * float(np.median(loop_ts)), 1),
+        "loop_closure_stages": ("ICP verify (10 iters) + 16-node batch "
+                                "pose-graph re-opt (30 iters)"),
+        "host_note": ("keyframe insertion + submap rebuild run host-side "
+                      "every ~1 m (~20 scans); loop closures at their own "
+                      "cadence (`mapOptimization.cpp` loopClosureThread)"),
+        "compile_s": round(compile_s + loop_compile_s, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Semantic segmentation inference: the committed 19-class DDRNet-style
+# artifact at its training resolution (240x320), vs the reference's ONLY
+# published perf numbers — 15 fps on Orin Nano / 19 fps on Orin AGX for
+# its TensorRT DDRNet (`dddmr_semantic_segmentation/README.md:18-21`).
+# ---------------------------------------------------------------------------
+
+def bench_semantic(frames=50, reps=4):
+    import numpy as np
+    try:
+        import flax  # noqa: F401 — semantic engine is flax-gated
+    except ImportError:
+        return {"skipped": "flax not installed"}
+    import json as _json
+    import jax
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.perception.semantic import (
+        init_segmenter, infer_classes, load_params)
+
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "artifacts", "semantic_ddrnet19.npz")
+    if not os.path.exists(art):
+        return {"skipped": "no committed artifact"}
+    meta = _json.load(open(art + ".json"))
+    h, w = meta["image_hw"]
+    model, template = init_segmenter(
+        jax.random.PRNGKey(0), height=h, width=w,
+        num_classes=meta["num_classes"], net_width=meta["net_width"])
+    params = load_params(art, template)
+
+    rng = np.random.default_rng(0)
+    out = {"image_hw": [h, w], "num_classes": meta["num_classes"],
+           "miou_heldout": meta.get("miou_heldout"),
+           "reference_fps": {"orin_nano": 15, "orin_agx": 19},
+           "reference_src": "dddmr_semantic_segmentation/README.md:18-21"}
+    for batch in (1, 8):
+        frames_np = rng.uniform(0, 1, size=(frames, batch, h, w, 3)
+                                ).astype(np.float32)
+
+        @jax.jit
+        def run(params, frames_in):
+            def body(acc, rgb):
+                cls = infer_classes(model, params, rgb)
+                return acc + cls[0, 0, 0], cls[0, 0, 0]
+            acc, xs = jax.lax.scan(body, jnp.int32(0), frames_in)
+            return acc, xs
+
+        def make_args():
+            return (params, jnp.asarray(frames_np))
+        compile_s, per_tick, _o = _time_chains(run, make_args, frames, reps)
+        stats = _tick_stats(per_tick)
+        fps = batch / (stats["tick_ms"] / 1e3)
+        out[f"batch{batch}"] = {
+            "frame_ms": round(stats["tick_ms"] / batch, 3),
+            "fps": round(fps, 1),
+            "vs_orin_agx_19fps": round(fps / 19.0, 1),
+            "compile_s": round(compile_s, 1),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Solo MCL: one robot's 60-particle measurement/resample update on the
+# REAL reference map (ground.pcd/map.pcd), vs the reference's 10 Hz odom
+# cadence (`mcl_3dl.cpp:143-234`, 60 particles per the canonical YAML).
+# Both the reference-faithful per-particle sampling ('trilinear') and the
+# fleet-scale correspondence-cached mode ('corr') are timed.
+# ---------------------------------------------------------------------------
+
+def bench_mcl(ticks=30, reps=4):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from dataclasses import replace
+    from dddmr_navigation_tpu.config import MCLConfig
+    from dddmr_navigation_tpu.state_estimation.likelihood import (
+        build_submap_context)
+    from dddmr_navigation_tpu.state_estimation.mcl import init_mcl, mcl_update
+    from dddmr_navigation_tpu.parallel.fleet import device_features_from_map
+    from dddmr_navigation_tpu.geometry import quat_from_yaw
+    from tools import parity_reference as pr
+
+    if pr.assets_available():
+        ctx_src = pr.load_context()
+        map_pts, ground_pts = ctx_src.map_pts, ctx_src.ground
+        map_name = "reference map.pcd/ground.pcd"
+        res = 0.25           # 124 m map within the 512-cell EDT cap
+    else:
+        from dddmr_navigation_tpu.io.maps import flat_ground_map, box_obstacle
+        ground_pts = flat_ground_map(12, 8, 0.25)
+        map_pts = box_obstacle([0.0, 3.6, 0.0], size=(11.0, 0.3, 1.2),
+                               resolution=0.15).astype(np.float32)
+        map_name = "synthetic (reference assets not mounted)"
+        res = 0.15
+
+    base = MCLConfig(num_particles=60, init_var_x=0.3, init_var_y=0.3,
+                     init_var_z=0.1, init_var_yaw=0.1)
+    pose = np.asarray(ground_pts[len(ground_pts) // 2], np.float32)
+    quat = np.asarray(quat_from_yaw(jnp.float32(0.3)))
+    wallsj = jnp.asarray(np.asarray(map_pts, np.float32))
+    groundj = jnp.asarray(np.asarray(ground_pts, np.float32))
+    flat, fok, sharp, sok = device_features_from_map(
+        wallsj, groundj, jnp.asarray(pose), jnp.asarray(quat))
+
+    out = {"map": map_name, "ground_nodes": len(ground_pts),
+           "map_points": len(map_pts), "particles": 60,
+           "field_res_m": res}
+    for mode in ("trilinear", "corr"):
+        cfg = replace(base, field_sampling=mode)
+        ctx = build_submap_context(np.asarray(map_pts),
+                                   np.asarray(ground_pts), cfg, res=res,
+                                   with_nearest=(mode == "corr"))
+        st0 = init_mcl(jax.random.PRNGKey(0), cfg, jnp.asarray(pose),
+                       jnp.asarray(quat))
+        step = partial(mcl_update, cfg)
+
+        @jax.jit
+        def run(ctx, st, flat, fok, sharp, sok):
+            def body(s, t):
+                # constant small odom increment (typical gated update)
+                dp = jnp.asarray([0.1, 0.0, 0.0])
+                s2, o = step(ctx, s, jnp.asarray(pose),
+                             jnp.asarray(quat), jnp.asarray(pose) + dp,
+                             jnp.asarray(quat), jnp.asarray(0.1),
+                             flat, fok, sharp, sok,
+                             jnp.ones(sharp.shape[0]))
+                return s2, o.pose_pos[0]
+            final, xs = jax.lax.scan(body, st, jnp.arange(ticks))
+            return xs[-1], final.particles.pos
+
+        def make_args():
+            return (ctx, st0, flat, fok, sharp, sok)
+        compile_s, per_tick, _o = _time_chains(run, make_args, ticks, reps)
+        stats = _tick_stats(per_tick)
+        out[mode] = {
+            "update_ms": round(stats["tick_ms"], 3),
+            "p99_update_ms": round(stats["p99_tick_ms"], 3),
+            "updates_per_s": round(1e3 / stats["tick_ms"], 1),
+            "compile_s": round(compile_s, 1),
+        }
+    # vs-reference framing: the reference runs ONE 60-particle update per
+    # motion-gated odom sample (<=10 Hz) per machine
+    out["robots_at_10hz_equiv"] = round(
+        1e3 / out["trilinear"]["update_ms"] / 10.0, 1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1134,7 +1670,7 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     phases = ["config2", "config3", "config3_real", "config4", "scaling",
-              "batch", "config5", "backends"]
+              "batch", "config5", "backends", "slam", "mcl", "semantic", "config4_real"]
     ap.add_argument("--skip", nargs="*", default=[], choices=phases)
     ap.add_argument("--only", default=None, choices=["headline"] + phases,
                     help="run a single phase (cache-warming / debugging)")
@@ -1167,6 +1703,10 @@ def main():
             ("config3", "config3", bench_config3),
             ("config3_real", "config3_real", bench_config3_real),
             ("config4", "config4", bench_config4),
+            ("config4_real", "config4_real", bench_config4_real),
+            ("slam", "slam", bench_slam),
+            ("semantic", "semantic", bench_semantic),
+            ("mcl", "mcl", bench_mcl),
             ("batch_scaling", "batch", bench_batch_scaling),
             ("scaling", "scaling", bench_virtual_mesh_scaling),
             ("config5_dryrun", "config5", bench_config5_dryrun),

@@ -262,6 +262,16 @@ class GlobalPlannerConfig:
     los_samples: int = 32          # per-edge LOS sample count
     max_lethal_points: int = 2048  # aggregated lethal cloud padding
     turning_dir_bins: int = 16     # incoming-direction bins (w_turn > 0)
+    # Per-TICK relaxation budget (0 = run to convergence in one tick —
+    # classic behavior). With a budget, a fresh goal's cold solve is
+    # AMORTIZED across control ticks: each tick relaxes at most this many
+    # iterations and carries the partial field; the plan stays empty (FSM
+    # in d_planning, the reference's behavior while its 5 Hz GetPlan
+    # thread works — `p2p_global_plan_manager.cpp:108-132`) until the
+    # field reaches the robot, so no single tick ever pays the whole
+    # solve. Warm ticks are unaffected (they converge within any sane
+    # budget).
+    relax_iters_per_tick: int = 0
 
 
 @dataclass(frozen=True)

@@ -85,6 +85,11 @@ class FusedState(NamedTuple):
     # its own marking grid/dGraph + the N-deep per-camera frustum ring.
     depth_marking: object
     depth_buffer: object
+    # Budgeted-relaxation stall counter (relax_iters_per_tick > 0):
+    # consecutive ticks the relax exited at its per-tick budget without
+    # converging; reaching the cold bound resets the carry (the
+    # unreachable-pocket safety the one-shot path gets from max_relax_iters).
+    wf_stall: object = 0
 
 
 class FusedOut(NamedTuple):
@@ -221,7 +226,8 @@ def init_fused_state(cfg: NavigationConfig, num_ground_nodes: int,
         marking=init_marking_state(spec, params, num_ground_nodes, robot_xyz),
         wf_dist=jnp.full(wf_shape, jnp.inf, jnp.float32),
         wf_goal_idx=jnp.asarray(-1, jnp.int32),
-        depth_marking=depth_marking, depth_buffer=depth_buffer)
+        depth_marking=depth_marking, depth_buffer=depth_buffer,
+        wf_stall=jnp.asarray(0, jnp.int32))
 
 
 def device_observation(scan_pts, scan_mask, k: int, leaf: float = 0.1):
@@ -428,8 +434,8 @@ def fused_pre_plan(nav_cfg: NavigationConfig, spec: VoxelSpec,
 
 def fused_post_plan(nav_cfg: NavigationConfig, generator: str,
                     fmap: FusedMap, pre: FusedPrePlan, res,
-                    scan_mask, robot_pos, robot_quat, v_now, w_now
-                    ) -> tuple:
+                    scan_mask, robot_pos, robot_quat, v_now, w_now,
+                    wf_stall=0) -> tuple:
     """Stages 4–6 of the fused vertical AFTER the relaxation+extraction
     (``res`` is the GlobalPathResult): device path interpolation, this
     tick's aggregated observation, prune → rollouts → critics → argmin,
@@ -461,7 +467,8 @@ def fused_post_plan(nav_cfg: NavigationConfig, generator: str,
     return FusedState(marking=pre.marking, wf_dist=res.dist_carry,
                       wf_goal_idx=res.goal_idx,
                       depth_marking=pre.depth_marking,
-                      depth_buffer=pre.depth_buffer), out
+                      depth_buffer=pre.depth_buffer,
+                      wf_stall=wf_stall), out
 
 
 def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
@@ -502,25 +509,52 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
         allowed_max_speed, depth_cam, depth_frames, now, depth_keep_time,
         no_entry_enabled)
     gp = nav_cfg.global_planner
+    budget = gp.relax_iters_per_tick
+    max_it = budget if budget > 0 else gp.max_relax_iters
     if gp.turning_weight > 0.0:
         dist_gb, edge_bins, iters = wavefront_distances_turning(
             fmap.nbr_idx, fmap.nbr_dist, pre.prep.graph_valid, pre.prep.enter,
             fmap.avg_intensity, pre.prep.goal_idx, fmap.ground,
             gp.turning_weight, n_dir_bins=gp.turning_dir_bins,
-            max_iters=gp.max_relax_iters, dist0=pre.prep.warm_dist,
+            max_iters=max_it, dist0=pre.prep.warm_dist,
             az=fmap.wf_az, bin_of_edge=fmap.wf_bins)
-        res = plan_finish(gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground,
-                          pre.prep, dist_gb, iters, turn_pen=fmap.turn_pen,
-                          wf_bins=edge_bins)
+        dist_relaxed = dist_gb
     else:
         wf = wavefront_distances(
             fmap.nbr_idx, fmap.nbr_dist, pre.prep.graph_valid, pre.prep.enter,
             fmap.avg_intensity, pre.prep.goal_idx,
-            max_iters=gp.max_relax_iters, dist0=pre.prep.warm_dist)
-        res = plan_finish(gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground,
-                          pre.prep, wf.dist, wf.iters)
+            max_iters=max_it, dist0=pre.prep.warm_dist)
+        dist_relaxed, iters, edge_bins = wf.dist, wf.iters, None
+    stall_reset, wf_stall = budget_stall_update(gp, state.wf_stall, iters)
+    res = plan_finish(gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground,
+                      pre.prep, dist_relaxed, iters,
+                      turn_pen=fmap.turn_pen if gp.turning_weight > 0.0
+                      else None,
+                      wf_bins=edge_bins, stall_reset=stall_reset)
     return fused_post_plan(nav_cfg, generator, fmap, pre, res, scan_mask,
-                           robot_pos, robot_quat, v_now, w_now)
+                           robot_pos, robot_quat, v_now, w_now,
+                           wf_stall=wf_stall)
+
+
+def budget_stall_update(gp, wf_stall, iters):
+    """Stall bookkeeping for the budgeted relaxation
+    (``relax_iters_per_tick > 0``): returns (stall_reset, new_counter).
+    With no budget, classic semantics (reset when a single solve hits
+    ``max_relax_iters``) and the counter passes through untouched.
+
+    A budgeted tick that exits AT its budget did not converge — normal
+    while a fresh goal's field spreads. The carry must only be reset (the
+    unreachable-pocket safety) once the CUMULATIVE budgeted iterations
+    since the last convergence reach the cold bound ``max_relax_iters`` —
+    the same total work after which the one-shot path gives up."""
+    budget = gp.relax_iters_per_tick
+    if budget <= 0:
+        return None, wf_stall
+    nonconv = iters >= budget
+    counter = jnp.where(nonconv, wf_stall + 1, 0)
+    stall_reset = nonconv & (counter * budget >= gp.max_relax_iters)
+    counter = jnp.where(stall_reset, 0, counter)
+    return stall_reset, counter
 
 
 def make_fused_tick(nav_cfg: NavigationConfig,

@@ -379,11 +379,11 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
                 mcl_err, match_ratio)
 
     def post_one(s, pre, res, smask, plan_pos, plan_quat, mcl2, odom_pos,
-                 odom_quat, mcl_err, match_ratio):
+                 odom_quat, mcl_err, match_ratio, wf_stall):
         # --- 2b. extract + rollouts (simple generator) -------------------
         fused2, out = fused_post_plan(
             nav_cfg, "differential_drive_simple", fmap, pre, res, smask,
-            plan_pos, plan_quat, s.v, s.w)
+            plan_pos, plan_quat, s.v, s.w, wf_stall=wf_stall)
 
         # --- 3. predicates + rotate-generator command --------------------
         init_dev, init_aligned, _ = initial_heading_deviation(
@@ -483,30 +483,42 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
 
     # stage B: ONE node-major relaxation for the whole fleet over the
     # shared graph (the per-robot Bellman operator, element for element)
+    from dddmr_navigation_tpu.control.fused import budget_stall_update
     prep = pre.prep
+    budget = gp.relax_iters_per_tick
+    max_it = budget if budget > 0 else gp.max_relax_iters
     if gp.turning_weight > 0.0:
         dist_r, iters = fleet_wavefront_distances_turning(
             fmap.nbr_idx, fmap.nbr_dist, prep.graph_valid, prep.enter,
             fmap.avg_intensity, prep.goal_idx, gp.turning_weight,
             az=fmap.wf_az, bin_of_edge=fmap.wf_bins,
-            n_dir_bins=gp.turning_dir_bins, max_iters=gp.max_relax_iters,
+            n_dir_bins=gp.turning_dir_bins, max_iters=max_it,
             dist0_r=prep.warm_dist)
-        finish = lambda pr, d: plan_finish(
+        finish = lambda pr, d, sr: plan_finish(
             gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters,
-            turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins)
+            turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins, stall_reset=sr)
     else:
         dist_r, iters = fleet_wavefront_distances(
             fmap.nbr_idx, fmap.nbr_dist, prep.graph_valid, prep.enter,
             fmap.avg_intensity, prep.goal_idx,
-            max_iters=gp.max_relax_iters, dist0_r=prep.warm_dist)
-        finish = lambda pr, d: plan_finish(
-            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters)
-    res = jax.vmap(finish)(prep, dist_r)
+            max_iters=max_it, dist0_r=prep.warm_dist)
+        finish = lambda pr, d, sr: plan_finish(
+            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters,
+            stall_reset=sr)
+    # stall bookkeeping per robot (the relax iteration count is shared —
+    # the joint loop runs to the slowest robot, exactly like the vmapped
+    # form — so the counters advance in lockstep)
+    stall_reset, wf_stall = budget_stall_update(gp, state.fused.wf_stall,
+                                                iters)
+    if stall_reset is None:
+        stall_reset = jnp.broadcast_to(iters >= gp.max_relax_iters,
+                                       (state.pos.shape[0],))
+    res = jax.vmap(finish)(prep, dist_r, stall_reset)
 
     # stage C (vmapped): extraction consumers — rollouts, FSM, recovery
     return jax.vmap(post_one)(state, pre, res, scan_masks, plan_pos,
                               plan_quat, mcl2, odom_pos, odom_quat,
-                              mcl_err, match_ratio)
+                              mcl_err, match_ratio, wf_stall)
 
 
 def sharded_fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params,

@@ -88,9 +88,12 @@ def plan_prepare(cfg: GlobalPlannerConfig, graph_idx, graph_dist, graph_valid,
 
 def plan_finish(cfg: GlobalPlannerConfig, graph_idx, graph_dist, ground,
                 prep: PlanPrep, dist_relaxed, iters, *,
-                turn_pen=None, wf_bins=None) -> GlobalPathResult:
+                turn_pen=None, wf_bins=None,
+                stall_reset=None) -> GlobalPathResult:
     """Extraction + result assembly AFTER the relaxation. ``dist_relaxed``
-    is (G, B) (turning) or (G,) (plain)."""
+    is (G, B) (turning) or (G,) (plain). ``stall_reset`` overrides the
+    carry-reset condition for budgeted relaxation
+    (`control.fused.budget_stall_update`)."""
     if cfg.turning_weight > 0.0:
         ids, valid, length, p_ok = extract_path_turning(
             graph_idx, graph_dist, prep.graph_valid, prep.enter,
@@ -111,8 +114,9 @@ def plan_finish(cfg: GlobalPlannerConfig, graph_idx, graph_dist, ground,
     # the carry to the inf-init in that case: the next tick pays one
     # bounded cold solve (which settles unreachable nodes at inf) and
     # warm ticks resume after.
-    dist_carry = jnp.where(iters >= cfg.max_relax_iters, jnp.inf,
-                           dist_relaxed)
+    if stall_reset is None:
+        stall_reset = iters >= cfg.max_relax_iters
+    dist_carry = jnp.where(stall_reset, jnp.inf, dist_relaxed)
     return GlobalPathResult(node_ids=ids, node_valid=valid & ok,
                             length=jnp.where(ok, length, 0), ok=ok,
                             dist_to_goal=dist_to_goal, dist_carry=dist_carry,

@@ -4,7 +4,7 @@ from dddmr_navigation_tpu.slam.projection import (
 from dddmr_navigation_tpu.slam.features import (
     FeatureSet, extract_features, smoothness, occlusion_mask)
 from dddmr_navigation_tpu.slam.scan_matching import (
-    match_scans, icp_point2point)
+    match_scans, match_to_map, icp_point2point)
 from dddmr_navigation_tpu.slam.pose_graph import (
     PoseGraphArrays, empty_graph, add_node, add_edge,
     optimize_pose_graph, detect_loop_candidate)

@@ -348,3 +348,72 @@ def test_zone_layers_in_fused_program(setup):
     # speed zone at the robot caps the sampled command
     assert float(out_on.vx) <= 0.21 + 1e-5
     assert float(out_on.vx) > 0.0
+
+
+def test_budgeted_relaxation_amortizes_cold_solve(setup):
+    """relax_iters_per_tick: a fresh goal's cold solve spreads across
+    control ticks (each tick's relax bounded by the budget, FSM-visible
+    plan empty while the field converges), and once converged the plan is
+    IDENTICAL to the one-shot solve. The per-tick wall bound on hardware
+    follows from the iteration bound (`bench_config3_real`
+    new_goal_latency fields); here we assert the iteration contract."""
+    cfg, ground, fmap, _, spec, ri_spec, params = setup
+    budget = 8
+    cfgb = dataclasses.replace(
+        cfg, global_planner=dataclasses.replace(
+            cfg.global_planner, relax_iters_per_tick=budget))
+    from dddmr_navigation_tpu.control.fused import (
+        fused_tick, init_fused_state)
+    import functools
+    tick_b = jax.jit(functools.partial(
+        fused_tick, cfgb, spec, ri_spec, params,
+        "differential_drive_simple"))
+    tick_full = jax.jit(functools.partial(
+        fused_tick, cfg, spec, ri_spec, params,
+        "differential_drive_simple"))
+
+    robot_pos = np.array([-4.0, 0.0, 0.0], np.float32)
+    robot_quat = np.asarray(quat_from_yaw(jnp.float32(0.0)))
+    offset = np.array([0.0, 0.0, 0.5], np.float32)
+    scan, smask = _scan_from_box([-2.0, 0.8, 0.0], robot_pos, offset,
+                                 cfg.perception.lidar.max_scan_points)
+    args = (jnp.asarray(scan), jnp.asarray(smask), jnp.asarray(robot_pos),
+            jnp.asarray(robot_quat), jnp.asarray(offset))
+
+    goal_a = jnp.asarray([4.0, 0.0, 0.0])
+    goal_b = jnp.asarray([4.0, 2.0, 0.0])
+
+    # converge on goal A under the budget
+    state = init_fused_state(cfgb, len(ground), robot_xyz=robot_pos)
+    for _ in range(40):
+        state, out = tick_b(fmap, state, *args, goal_a,
+                            jnp.float32(0.2), jnp.float32(0.0))
+        assert int(out.wf_iters) <= budget          # contract: bounded tick
+        if bool(out.plan_ok):
+            break
+    assert bool(out.plan_ok)
+
+    # switch to goal B mid-run: ticks stay bounded; plan empty while the
+    # new field spreads; converges within ceil(cold_iters/budget) ticks
+    ticks_to_ok = 0
+    for _ in range(60):
+        state, out = tick_b(fmap, state, *args, goal_b,
+                            jnp.float32(0.2), jnp.float32(0.0))
+        assert int(out.wf_iters) <= budget
+        ticks_to_ok += 1
+        if bool(out.plan_ok):
+            break
+    assert bool(out.plan_ok), "budgeted solve never converged on goal B"
+    assert ticks_to_ok > 1, "goal change should take >1 budgeted tick"
+
+    # run to full convergence, then compare against the one-shot path
+    for _ in range(20):
+        state, out = tick_b(fmap, state, *args, goal_b,
+                            jnp.float32(0.2), jnp.float32(0.0))
+    sfull = init_fused_state(cfg, len(ground), robot_xyz=robot_pos)
+    sfull, out_full = tick_full(fmap, sfull, *args, goal_b,
+                                jnp.float32(0.2), jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out.plan.positions),
+                               np.asarray(out_full.plan.positions),
+                               atol=1e-5)
+    assert int(out.plan.count) == int(out_full.plan.count)
