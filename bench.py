@@ -18,9 +18,10 @@ and, in CPU subprocesses (multi-chip hardware is not available here):
     bench_virtual_mesh_scaling) and the 4096-scenario config-5 dryrun on
     the hierarchical dcn×ici mesh.
 
-Measurement notes (axon TPU tunnel):
-  * `block_until_ready` does not reliably block on the experimental axon
-    platform — completion is forced by host readbacks of outputs.
+Measurement notes (remote-attached TPU):
+  * some remote/experimental device platforms do not reliably block in
+    `block_until_ready` — completion is forced by host readbacks of
+    outputs (portable; costs one transfer).
   * Anything compiled in the timing loop may ride a remote-compile queue
     (minutes); all programs compile up front, and compile seconds are
     reported per config.
@@ -86,8 +87,8 @@ def _time_chains(run, make_args, ticks, reps):
     Timing reps force completion with ONE host readback (the first
     output — a single XLA dispatch materializes every output, so reading
     any of them waits for the whole program). Reading each output
-    separately costs one tunnel round trip (~30 ms) apiece on this axon
-    link, which at 20-tick chains inflated every recorded tick by
+    separately costs one device-link round trip (~30 ms apiece on a
+    remote-attached TPU), which at 20-tick chains inflated every recorded tick by
     several ms (round-3 numbers carried that inflation). Warmup and the
     returned final outputs still read everything."""
     import numpy as np
@@ -1524,8 +1525,7 @@ print(json.dumps({{"ndev": ndev, "robots": b, "tick_s": med,
 def _run_scaling_child(ndev, b_total):
     script = _SCALING_CHILD.format(ndev=ndev, b_total=b_total)
     env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_child_env(env)
     proc = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
         timeout=900, env=env,
@@ -1536,6 +1536,20 @@ def _run_scaling_child(ndev, b_total):
         return json.loads(line)
     except json.JSONDecodeError:
         return {"error": proc.stderr[-500:]}
+
+
+def _cpu_child_env(env):
+    """Environment adapter for CPU-only child processes: force the CPU
+    platform and strip any ambient remote-compile routing (some managed
+    TPU environments ship XLA compiles to a remote service; a CPU child
+    should always compile locally). Generic by pattern, not by
+    infrastructure name."""
+    env = dict(env)
+    for k in list(env):
+        if "POOL_IPS" in k or "REMOTE_COMPILE" in k:
+            env.pop(k)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
 
 
 def bench_virtual_mesh_scaling(b_total=64):
@@ -1651,9 +1665,7 @@ def bench_config5_dryrun():
     dcn×ici virtual mesh — executes the real multi-host program
     (`parallel/multihost.py` shard_map + hierarchical psum) at tiny
     per-scenario shapes."""
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_child_env(os.environ)
     proc = subprocess.run(
         [sys.executable, "-c", _CONFIG5_CHILD], capture_output=True,
         text=True, timeout=900, env=env,
@@ -1730,7 +1742,7 @@ def main():
         "p99_tick_ms": round(head["p99_tick_ms"], 3),
         "tick_ms_note": ("scan-amortized device time per tick; p99 over "
                          "per-chain means (per-dispatch latency on the "
-                         "axon tunnel is transport-bound)"),
+                         "remote device link is transport-bound)"),
         "rollouts_per_tick": head["rollouts_per_tick"],
         "robots": head["robots"],
         "tick_budget_ms": TICK_BUDGET_MS,

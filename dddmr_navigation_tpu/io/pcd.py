@@ -114,6 +114,10 @@ def read_pcd(path: str) -> np.ndarray:
         for t, s in zip(types, sizes):
             np_types.append({"F": f"f{s}", "I": f"i{s}", "U": f"u{s}"}[t])
 
+        if n_points == 0:        # empty cloud (e.g. a featureless keyframe)
+            width = int(sum(counts))
+            return np.zeros((0, width), np.float32)
+
         if data_kind == "ascii":
             raw = np.loadtxt(f, dtype=np.float64, max_rows=n_points)
             raw = np.atleast_2d(raw)

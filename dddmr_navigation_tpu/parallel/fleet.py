@@ -481,9 +481,11 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
      match_ratio) = jax.vmap(pre_one)(state, scans, scan_masks, goals,
                                       odom_drift_pos, odom_drift_yaw)
 
-    # stage B: ONE node-major relaxation for the whole fleet over the
-    # shared graph (the per-robot Bellman operator, element for element)
+    # stage B: ONE node-major relaxation + extraction for the whole fleet
+    # over the shared graph (the per-robot operators, element for element)
     from dddmr_navigation_tpu.control.fused import budget_stall_update
+    from dddmr_navigation_tpu.planning.global_.planner import (
+        fleet_plan_finish)
     prep = pre.prep
     budget = gp.relax_iters_per_tick
     max_it = budget if budget > 0 else gp.max_relax_iters
@@ -494,17 +496,11 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
             az=fmap.wf_az, bin_of_edge=fmap.wf_bins,
             n_dir_bins=gp.turning_dir_bins, max_iters=max_it,
             dist0_r=prep.warm_dist)
-        finish = lambda pr, d, sr: plan_finish(
-            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters,
-            turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins, stall_reset=sr)
     else:
         dist_r, iters = fleet_wavefront_distances(
             fmap.nbr_idx, fmap.nbr_dist, prep.graph_valid, prep.enter,
             fmap.avg_intensity, prep.goal_idx,
             max_iters=max_it, dist0_r=prep.warm_dist)
-        finish = lambda pr, d, sr: plan_finish(
-            gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, pr, d, iters,
-            stall_reset=sr)
     # stall bookkeeping per robot (the relax iteration count is shared —
     # the joint loop runs to the slowest robot, exactly like the vmapped
     # form — so the counters advance in lockstep)
@@ -513,7 +509,10 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
     if stall_reset is None:
         stall_reset = jnp.broadcast_to(iters >= gp.max_relax_iters,
                                        (state.pos.shape[0],))
-    res = jax.vmap(finish)(prep, dist_r, stall_reset)
+    res = fleet_plan_finish(
+        gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, prep, dist_r, iters,
+        turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins,
+        stall_reset=stall_reset)
 
     # stage C (vmapped): extraction consumers — rollouts, FSM, recovery
     return jax.vmap(post_one)(state, pre, res, scan_masks, plan_pos,

@@ -364,6 +364,62 @@ def fleet_wavefront_distances(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
     return jnp.moveaxis(dist, 0, 1), iters                 # (R, G)
 
 
+def _walk_table(succ, stuck, e0, stuck0, node_of, start_idx, goal_idx,
+                      max_len: int):
+    """The greedy-descent walk with a ONE-GATHER body and heavy unroll:
+    ~99 ms of the 122 ms 64-robot fleet tick was the 512-step stepwise
+    walk — per-step op-LAUNCH overhead (its body issued ~6 small ops per
+    iteration), not compute. Terminal states (stuck, or arriving at the
+    goal) are first rewritten to SELF-LOOPS, which moves every per-step
+    decision out of the loop: the body is a single (batched-robot) table
+    gather, `unroll=32` amortizes the loop bookkeeping, and the
+    valid/length/final bookkeeping is recovered VECTORIZED from the
+    emitted state sequence afterwards. (A pointer-doubling variant —
+    O(log L) squared jump tables — was measured and rejected: the
+    per-robot (S,)[(S,)] squarings lower to batched middle-axis gathers,
+    2× SLOWER than the stepwise walk at fleet scale.) Emitted
+    (idxs, valids, length, final) are element-for-element identical to
+    the stepwise form: validity is the prefix before the first terminal
+    flag, and frozen slots re-emit the freeze node.
+
+    Args:
+      succ: (S,) int32 successor-state table.
+      stuck: (S,) bool — states with no feasible continuation (their succ
+        entries are meaningless).
+      e0: () int32 initial state (after the start's first hop).
+      stuck0: () bool — no feasible first hop from the start.
+      node_of: (S,) int32 node emitted on arrival in each state.
+      max_len: emitted path slots.
+    """
+    s = succ.shape[0]
+    term = stuck | (node_of == goal_idx)
+    succ2 = jnp.where(term, jnp.arange(s), succ)
+
+    def step(e, _):
+        return succ2[e], e
+
+    _, es = lax.scan(step, e0.astype(jnp.int32), None, length=max_len - 1,
+                     unroll=32)
+    # es[t] = succ2^t(e0); node sequence: cur_0 = start,
+    # cur_t = node_of[es[t-1]]
+    idxs_raw = jnp.concatenate([jnp.asarray([start_idx], jnp.int32),
+                                node_of[es[:max_len - 1]]])
+    # terminal flags: F_0 = start==goal | stuck0;
+    # F_t = cur_t==goal | stuck(e_{t-1})
+    F = jnp.concatenate([
+        jnp.asarray([(start_idx == goal_idx) | stuck0]),
+        (idxs_raw[1:] == goal_idx) | stuck[es[:max_len - 1]]])
+    done_before = jnp.concatenate([
+        jnp.asarray([False]), jnp.cumsum(F.astype(jnp.int32))[:-1] > 0])
+    valids = ~done_before
+    length = jnp.sum(valids)
+    stop = jnp.minimum(jnp.argmax(F), max_len - 1)
+    has_f = jnp.any(F)
+    final = jnp.where(has_f, idxs_raw[stop], idxs_raw[max_len - 1])
+    idxs = jnp.where(valids, idxs_raw, final)     # stepwise freeze re-emit
+    return idxs, valids, length, final
+
+
 def extract_path_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist_gb,
                          bin_of_edge, start_idx, goal_idx, positions,
                          turning_weight: float, *, max_len: int = 512,
@@ -418,25 +474,155 @@ def extract_path_turning(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist_gb,
     # First hop: prev == cur ⇒ θ = 0 for every candidate (the n1 == 0
     # quirk), so the start scores are plain score_next[start].
     cand0 = score_next[start_idx]
-    e0 = start_idx * k + jnp.argmin(cand0)
+    e0 = (start_idx * k + jnp.argmin(cand0)).astype(jnp.int32)
     stuck0 = ~jnp.isfinite(jnp.min(cand0))
 
-    def step(carry, _):
-        cur, e, done = carry                 # e = -1 before the first hop
-        at_goal = cur == goal_idx
-        stuck = jnp.where(e < 0, stuck0, edge_stuck[jnp.maximum(e, 0)])
-        new_done = done | at_goal | stuck
-        nxt_e = jnp.where(e < 0, e0, succ_edge[jnp.maximum(e, 0)])
-        nxt = edge_dst[nxt_e]
-        return (jnp.where(new_done, cur, nxt),
-                jnp.where(new_done, e, nxt_e), new_done), (cur, ~done)
-
-    (final, _, done), (idxs, valids) = lax.scan(
-        step, (start_idx, jnp.asarray(-1, jnp.int32), jnp.asarray(False)),
-        None, length=max_len)
+    idxs, valids, length, final = _walk_table(
+        succ_edge.astype(jnp.int32), edge_stuck, e0, stuck0, edge_dst,
+        start_idx, goal_idx, max_len)
     ok = jnp.isfinite(jnp.min(dist_gb[start_idx])) & (final == goal_idx)
-    length = jnp.sum(valids)
     return idxs, valids, length, ok
+
+
+def _fleet_walk_table(succ_rs, stuck_rs, e0_r, stuck0_r, node_of,
+                      start_idx_r, goal_idx_r, max_len: int):
+    """Fleet walk over per-robot successor tables with FLAT global state:
+    a vmapped `_walk_table` makes each step's gather a batched
+    middle-axis gather ((R,) picks from (R, S) — the pathological TPU
+    path, ~140 µs per step at 64 robots ≈ 70 ms of the fleet tick). With
+    states flattened to robot-offset ids in ONE (R·S,) table, each step
+    is a plain first-axis 1D gather of (R,) — the fast path. Semantics
+    identical to `_walk_table` per robot.
+
+    Args: ``succ_rs``/``stuck_rs`` are (S, R) state tables (node-major,
+    as the fleet extractors build them), ``node_of`` (S,) shared,
+    ``e0_r``/``stuck0_r``/``start_idx_r``/``goal_idx_r`` (R,).
+    Returns (idxs (R, L), valids (R, L), length (R,), final (R,)).
+    """
+    s, r = succ_rs.shape
+    term = stuck_rs | (node_of[:, None] == goal_idx_r[None, :])  # (S, R)
+    succ2 = jnp.where(term, jnp.arange(s)[:, None], succ_rs)
+    # flatten robot-major: flat id = robot * S + state
+    flat_succ = (jnp.moveaxis(succ2, 1, 0)
+                 + (jnp.arange(r) * s)[:, None]).reshape(-1)    # (R*S,)
+    e0_flat = (jnp.arange(r) * s + e0_r).astype(jnp.int32)
+
+    def step(e, _):
+        return flat_succ[e], e
+
+    _, es = lax.scan(step, e0_flat, None, length=max_len - 1, unroll=8)
+    es_state = (es % s).astype(jnp.int32)                       # (L-1, R)
+
+    idxs_raw = jnp.concatenate(
+        [start_idx_r[None, :].astype(jnp.int32), node_of[es_state]], axis=0)
+    stuck_flat = jnp.moveaxis(stuck_rs, 1, 0).reshape(-1)       # (R*S,)
+    F = jnp.concatenate([
+        ((start_idx_r == goal_idx_r) | stuck0_r)[None, :],
+        (idxs_raw[1:] == goal_idx_r[None, :]) | stuck_flat[es]], axis=0)
+    done_before = jnp.concatenate([
+        jnp.zeros((1, r), bool),
+        jnp.cumsum(F.astype(jnp.int32), axis=0)[:-1] > 0], axis=0)
+    valids = ~done_before                                       # (L, R)
+    length = jnp.sum(valids, axis=0)
+    stop = jnp.minimum(jnp.argmax(F, axis=0), max_len - 1)      # (R,)
+    has_f = jnp.any(F, axis=0)
+    final_stop = jnp.take_along_axis(idxs_raw, stop[None, :], axis=0)[0]
+    final = jnp.where(has_f, final_stop, idxs_raw[max_len - 1])
+    idxs = jnp.where(valids, idxs_raw, final[None, :])
+    return (jnp.moveaxis(idxs, 0, 1), jnp.moveaxis(valids, 0, 1),
+            length, final)
+
+
+def fleet_extract_path_turning(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
+                               dist_r, bin_of_edge, start_idx_r, goal_idx_r,
+                               turn_pen, *, max_len: int = 512):
+    """Fleet successor-table extraction in NODE-MAJOR layout: a vmap of
+    :func:`extract_path_turning` makes `dist_gb[safe_idx]` and
+    `score_next[safe_idx]` per-robot batched gathers, which XLA lowers to
+    the pathological middle-axis gather path (~99 ms of the 122 ms
+    64-robot tick — the walk itself was NOT the cost). With the fields
+    node-major — (G, R, B) / (G, K, R) — the same tables ride shared-index
+    first-axis gathers like the fleet relaxation; only the (cheap) walks
+    stay per-robot.
+
+    Args are the per-robot tensors with a leading robot axis where
+    per-robot: ``nbr_valid_r``/``enter_cost_r``/``dist_r``/``start_idx_r``/
+    ``goal_idx_r`` are (R,G,K)/(R,G)/(R,G,B)/(R,)/(R,).
+
+    Returns (idxs (R, L), valids (R, L), length (R,), ok (R,)).
+    """
+    g, k = nbr_idx.shape
+    r = enter_cost_r.shape[0]
+    b = dist_r.shape[2]
+    big = jnp.float32(jnp.inf)
+    safe_idx = jnp.maximum(nbr_idx, 0)
+
+    dist_grb = jnp.moveaxis(dist_r, 0, 1)                    # (G, R, B)
+    nd = dist_grb.reshape(g, r * b)[safe_idx].reshape(g, k, r, b)
+    bin_sel = jnp.where(
+        bin_of_edge[:, :, None] == jnp.arange(b)[None, None, :], 0.0, big)
+    nd_in = jnp.min(nd + bin_sel[:, :, None, :], axis=3)     # (G, K, R)
+    enter_g = jnp.moveaxis(enter_cost_r, 0, 1)[safe_idx]     # (G, K, R)
+    score_next = nd_in + nbr_dist[:, :, None] + enter_g      # (G, K, R)
+    score_next = jnp.where(jnp.moveaxis(nbr_valid_r, 0, 2), score_next, big)
+
+    cand = score_next.reshape(g, k * r)[safe_idx] \
+        .reshape(g, k, k, r) + turn_pen[:, :, :, None]       # (G, K, K, R)
+    kbest = jnp.argmin(cand, axis=2)                         # (G, K, R)
+    succ_edge = (safe_idx[:, :, None] * k + kbest) \
+        .reshape(g * k, r)                                   # (G*K, R)
+    edge_stuck = (~jnp.isfinite(jnp.min(cand, axis=2))) \
+        .reshape(g * k, r)
+    edge_dst = safe_idx.reshape(-1)                          # (G*K,) shared
+
+    # first hop per robot: θ = 0 from the start (n1 == 0 quirk)
+    cand0 = jnp.take_along_axis(
+        jnp.moveaxis(score_next, 2, 0), start_idx_r[:, None, None],
+        axis=1)[:, 0, :]                                     # (R, K)
+    e0 = (start_idx_r * k + jnp.argmin(cand0, axis=1)).astype(jnp.int32)
+    stuck0 = ~jnp.isfinite(jnp.min(cand0, axis=1))
+    start_ok = jnp.isfinite(jnp.min(
+        jnp.take_along_axis(jnp.moveaxis(dist_grb, 1, 0),
+                            start_idx_r[:, None, None], axis=1)[:, 0, :],
+        axis=1))
+
+    idxs, valids, length, final = _fleet_walk_table(
+        succ_edge, edge_stuck, e0, stuck0, edge_dst, start_idx_r,
+        goal_idx_r, max_len)
+    return idxs, valids, length, start_ok & (final == goal_idx_r)
+
+
+def fleet_extract_path(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
+                       dist_r, start_idx_r, goal_idx_r, *,
+                       max_len: int = 512):
+    """Node-major fleet extraction for the plain (w_turn = 0) node-table
+    field — see :func:`fleet_extract_path_turning`. ``dist_r`` is (R, G).
+
+    Returns (idxs (R, L), valids (R, L), length (R,), ok (R,))."""
+    g, k = nbr_idx.shape
+    big = jnp.float32(jnp.inf)
+    safe_idx = jnp.maximum(nbr_idx, 0)
+
+    nd = jnp.moveaxis(dist_r, 0, 1)[safe_idx]                # (G, K, R)
+    en = jnp.moveaxis(enter_cost_r, 0, 1)[safe_idx]          # (G, K, R)
+    cand = jnp.where(jnp.moveaxis(nbr_valid_r, 0, 2),
+                     nd + nbr_dist[:, :, None] + en, big)    # (G, K, R)
+    kbest = jnp.argmin(cand, axis=1)                         # (G, R)
+    succ = jnp.take_along_axis(
+        safe_idx[:, :, None], kbest[:, None, :], axis=1)[:, 0, :]  # (G, R)
+    node_stuck = ~jnp.isfinite(jnp.min(cand, axis=1))        # (G, R)
+
+    start_dist = jnp.take_along_axis(dist_r, start_idx_r[:, None],
+                                     axis=1)[:, 0]
+    start_ok = jnp.isfinite(start_dist)
+
+    e0_r = jnp.take_along_axis(succ, start_idx_r[None, :], axis=0)[0]
+    stuck0_r = jnp.take_along_axis(node_stuck, start_idx_r[None, :],
+                                   axis=0)[0]
+    idxs, valids, length, final = _fleet_walk_table(
+        succ, node_stuck, e0_r.astype(jnp.int32), stuck0_r,
+        jnp.arange(g, dtype=jnp.int32), start_idx_r, goal_idx_r, max_len)
+    return idxs, valids, length, start_ok & (final == goal_idx_r)
 
 
 def extract_path(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist, start_idx,
@@ -502,15 +688,12 @@ def extract_path(nbr_idx, nbr_dist, nbr_valid, enter_cost, dist, start_idx,
     succ = jnp.take_along_axis(safe_idx, kbest[:, None], axis=1)[:, 0]
     node_stuck = ~jnp.isfinite(jnp.min(cand, axis=1))
 
-    def step(carry, _):
-        cur, done = carry
-        at_goal = cur == goal_idx
-        new_done = done | at_goal | node_stuck[cur]
-        nxt = jnp.where(new_done, cur, succ[cur])
-        return (nxt, new_done), (cur, ~done)
-
-    (final, done), (idxs, valids) = lax.scan(
-        step, (start_idx, jnp.asarray(False)), None, length=max_len)
+    # node-table walk: state = node, first "hop" is the start itself
+    # (stuck0 folds into the start's own stuck flag; the pointer-doubling
+    # walk then matches the stepwise emission element for element)
+    idxs, valids, length, final = _walk_table(
+        succ.astype(jnp.int32), node_stuck,
+        succ[start_idx].astype(jnp.int32), node_stuck[start_idx],
+        jnp.arange(g, dtype=jnp.int32), start_idx, goal_idx, max_len)
     ok = jnp.isfinite(dist[start_idx]) & (final == goal_idx)
-    length = jnp.sum(valids)
     return idxs, valids, length, ok

@@ -87,6 +87,11 @@ class MappingSession:
     cur_quat: np.ndarray = field(
         default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
     keyframe_feats: list = field(default_factory=list)   # FeatureSet per kf
+    # per-keyframe PATCHED ground + ground-edge clouds (sensor frame) —
+    # the reference's `patchedGroundKeyFrames`/`patchedGroundEdgeKeyFrames`
+    # the saved ground.pcd is stitched from (`mapOptimization.cpp:211-217`)
+    keyframe_ground: list = field(default_factory=list)
+    keyframe_ground_edge: list = field(default_factory=list)
     n_keyframes: int = 0
     n_edges: int = 0
     graph: pg.PoseGraphArrays | None = None
@@ -169,7 +174,7 @@ class MappingSession:
         feats = _frontend(self.cfg, jnp.asarray(points), jnp.asarray(mask))
 
         if self.n_keyframes == 0:
-            self._add_keyframe(feats)
+            self._add_keyframe(feats, scan=(points, mask))
             return self.cur_pos, self.cur_quat
 
         ref_i = self.n_keyframes - 1
@@ -196,7 +201,7 @@ class MappingSession:
             self.cur_quat = np.asarray(mquat)
 
         if self._keyframe_due(ref_pos, ref_quat):
-            self._add_keyframe(feats, parent=ref_i)
+            self._add_keyframe(feats, parent=ref_i, scan=(points, mask))
             if self.cfg.enable_loop_closure:
                 self._try_loop_closure()
         return self.cur_pos, self.cur_quat
@@ -211,12 +216,27 @@ class MappingSession:
         return (d > self.cfg.distance_between_key_frame
                 or a > self.cfg.angle_between_key_frame)
 
-    def _add_keyframe(self, feats, parent: int | None = None):
+    def _add_keyframe(self, feats, parent: int | None = None, scan=None):
         i = self.n_keyframes
         assert i < self.cfg.max_keyframes, "max_keyframes exceeded"
         self.graph = pg.add_node(self.graph, i, jnp.asarray(self.cur_pos),
                                  jnp.asarray(self.cur_quat))
         self.keyframe_feats.append(jax.device_get(feats))
+        if scan is not None:
+            # patched-ground keyframe processing (`imageProjection.cpp:
+            # 408-516`): the cloud the saved ground.pcd stitches from
+            from dddmr_navigation_tpu.slam.projection import (
+                patched_ground_points)
+            img = jax.device_get(project(self.cfg, jnp.asarray(scan[0]),
+                                         jnp.asarray(scan[1])))
+            gpts, epts = patched_ground_points(
+                self.cfg, img.pts, img.valid, img.ground,
+                first_frame=(i == 0))
+            self.keyframe_ground.append(gpts)
+            self.keyframe_ground_edge.append(epts)
+        else:
+            self.keyframe_ground.append(None)
+            self.keyframe_ground_edge.append(None)
         self.n_keyframes += 1
         if parent is not None:
             pp, pq = self._kf_pose(parent)
@@ -326,12 +346,19 @@ class MappingSession:
             lf = np.asarray(f.less_flat)
             lfm = np.asarray(f.less_flat_mask)
             lfg = np.asarray(f.less_flat_ground)
-            # feature (map) cloud = edges + non-ground surfaces; ground
-            # cloud = ground surfaces — the reference's pcdSaver split
-            # (`mapOptimization.h:91,119`).
-            feats.append(np.concatenate([
-                np.asarray(f.less_sharp)[np.asarray(f.less_sharp_mask)],
-                lf[lfm & ~lfg]]))
-            grounds.append(lf[lfg])
+            # pcdSaver split (`mapOptimization.cpp:191-217,277-293`):
+            # {i}_feature.pcd = CORNER features only (cornerCloudKeyFrames
+            # — the surf terms are commented out in the reference's map
+            # stitch), {i}_ground.pcd = the PATCHED ground keyframe cloud
+            # (between-ring interpolation + blind-circle fill,
+            # patchedGroundKeyFrames). Keyframes recorded without a raw
+            # scan fall back to the feature-mask approximation
+            # (ground-flagged less-flat picks).
+            feats.append(
+                np.asarray(f.less_sharp)[np.asarray(f.less_sharp_mask)])
+            pg_cloud = (self.keyframe_ground[i]
+                        if i < len(self.keyframe_ground) else None)
+            grounds.append(pg_cloud if pg_cloud is not None
+                           and len(pg_cloud) else lf[lfm & lfg])
         write_pose_graph(out_dir, PoseGraph(
             poses=poses, feature_clouds=feats, ground_clouds=grounds))

@@ -189,3 +189,71 @@ def project(cfg: SlamConfig, points, mask) -> RangeImage:
     labels, seg_mask = segment_image(cfg, img_rng, valid, ground)
     return RangeImage(rng=img_rng, pts=img_pts, valid=valid, ground=ground,
                       labels=labels, segment_mask=seg_mask)
+
+
+def patched_ground_points(cfg: SlamConfig, img_pts, valid, ground,
+                          first_frame: bool = False):
+    """The reference's patched-ground construction
+    (`imageProjection.cpp:408-516`, the cloud `pcdSaver` stitches into the
+    saved ``ground.pcd`` / per-keyframe ``*_ground.pcd`` via
+    ``patchedGroundKeyFrames``, `mapOptimization.cpp:211-217,285`):
+
+      * per azimuth column, every ground ring-pair (i, i+1) below
+        ``ground_scan_index`` whose inter-ring gap is under
+        ``distance_for_patch_between_rings`` emits interpolated points at
+        the C++ loop's exact parametrization ``t = 0, dt, …`` with
+        ``dt = 1/(ds/0.1 + 1)`` plus the upper endpoint;
+      * the outermost patched ring per column contributes a ground-EDGE
+        point (intensity 100 — `patched_ground_edge_`, the cloud the
+        ground-edge detection thread refines, `mapOptimization.h:119`);
+      * on the first frames (``first_frame``) the blind circle under the
+        robot is filled from the closest ring edge toward base_link at the
+        ring's own height (`imageProjection.cpp:482-506`);
+      * both clouds voxel-downsample at the reference's 0.1 m leaf.
+
+    Host-side (artifact/keyframe rate, not the control path). Returns
+    (ground_pts (P, 3), edge_pts (E, 3)) float32 numpy arrays.
+    """
+    from dddmr_navigation_tpu.io.maps import voxel_downsample
+
+    img_pts = np.asarray(img_pts)
+    valid = np.asarray(valid)
+    ground = np.asarray(ground)
+    v, h = valid.shape
+    gsi = int(cfg.ground_scan_index)
+    out, edges = [], []
+    for j in range(h):
+        ring_edge = 0
+        closest_ring_edge = gsi
+        do_patch = False
+        for i in range(gsi):
+            if not (valid[i, j] and valid[i + 1, j]
+                    and ground[i, j] and ground[i + 1, j]):
+                continue
+            lo = img_pts[i, j]
+            dvec = img_pts[i + 1, j] - lo
+            ds = float(np.linalg.norm(dvec))
+            if i < closest_ring_edge:
+                closest_ring_edge = i
+            if ds < cfg.distance_for_patch_between_rings:
+                ring_edge = i + 1
+                dt = 1.0 / (ds / 0.1 + 1.0)
+                t = 0.0
+                while t <= 1.0:
+                    out.append(lo + dvec * t)
+                    t += dt
+                out.append(lo + dvec)
+                do_patch = True
+        if valid[ring_edge, j]:
+            edges.append(img_pts[ring_edge, j])
+        if do_patch and first_frame and closest_ring_edge < gsi \
+                and valid[closest_ring_edge, j]:
+            p0 = img_pts[closest_ring_edge, j]
+            for t in np.arange(0.0, 1.0 + 1e-6, 0.05):
+                out.append([p0[0] * (1 - t), p0[1] * (1 - t), p0[2]])
+    gpts = (np.asarray(out, np.float32) if out
+            else np.zeros((0, 3), np.float32))
+    epts = (np.asarray(edges, np.float32) if edges
+            else np.zeros((0, 3), np.float32))
+    return (voxel_downsample(gpts, 0.1).astype(np.float32),
+            voxel_downsample(epts, 0.1).astype(np.float32))

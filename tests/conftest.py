@@ -2,12 +2,13 @@
 paths are exercised without TPU hardware (SURVEY.md §4 implication)."""
 import os
 
-# The ambient environment's sitecustomize (axon TPU tunnel) imports jax at
-# interpreter start and pins jax_platforms="axon,cpu" — env vars set here
-# are TOO LATE. Override via jax.config after import instead; backends
-# initialize lazily, so this still takes effect. Without it every eager op
-# rides the device tunnel and compiles queue on a remote service
-# (~minutes each); on local CPU the whole suite compiles locally.
+# Some managed TPU environments import jax from sitecustomize at
+# interpreter start and pin jax_platforms before env vars can act — env
+# vars set here are TOO LATE. Override via jax.config after import
+# instead; backends initialize lazily, so this still takes effect.
+# Without it every eager op rides the attached device (and, on remote-
+# compile setups, every jit queues on a remote service); on local CPU
+# the whole suite compiles locally.
 os.environ["JAX_PLATFORMS"] = "cpu"   # belt-and-braces for subprocesses
 
 import jax  # noqa: E402

@@ -197,7 +197,11 @@ def test_mapping_session_end_to_end(tmp_path):
     from dddmr_navigation_tpu.state_estimation import read_pose_graph
     g = read_pose_graph(out)
     assert len(g.poses) == sess.n_keyframes
-    assert len(g.feature_clouds[0]) > 50
+    # corners-only features (the reference's pcdSaver map stitch) are
+    # sparser than the old corner+surf approximation; the ground cloud
+    # carries the patched-ground density
+    assert len(g.feature_clouds[0]) > 15
+    assert len(g.ground_clouds[0]) > 200
 
 
 @pytest.mark.slow
@@ -318,3 +322,54 @@ def test_mapping_pause_resume():
     pts, mask = simulate_scan(WORLD, pos, 0.0, n_rings=16, n_cols=250)
     sess.process_scan(pts, mask)
     assert not np.array_equal(sess.cur_pos, p_before)
+
+
+def test_patched_ground_split_parity(tmp_path):
+    """Saved-map ground/feature split parity with the reference's
+    patched-ground keyframe processing (`imageProjection.cpp:408-516` →
+    `mapOptimization.cpp:211-217,277-293`): the saved ground cloud is the
+    PATCHED ground (between-ring interpolation + first-frame blind-circle
+    fill), denser than the raw ground pixels and gap-free along rings;
+    the saved feature cloud is corner features only (the reference's map
+    stitch comments the surf terms out)."""
+    from dddmr_navigation_tpu.slam.projection import patched_ground_points
+
+    pts, mask = simulate_scan(WORLD, [0.0, 0.0, 0.8], 0.0,
+                              n_rings=16, n_cols=250)
+    img = project(CFG, jnp.asarray(pts), jnp.asarray(mask))
+    gpts, epts = patched_ground_points(CFG, img.pts, img.valid, img.ground,
+                                       first_frame=True)
+    raw_ground = np.asarray(img.pts)[np.asarray(img.ground)]
+    # patching emits strictly more floor coverage than the raw pixels
+    assert len(gpts) > len(raw_ground) * 0.8
+    assert len(epts) > 50                      # one edge point per column
+    # every patched point lies on the floor plane of the survey
+    assert np.percentile(np.abs(gpts[:, 2] - raw_ground[:, 2].mean()),
+                         95) < 0.25
+    # interpolation property: along an azimuth, consecutive-ring gaps are
+    # filled — nearest-neighbor spacing within the patched cloud is fine
+    from scipy.spatial import cKDTree
+    inner = gpts[np.linalg.norm(gpts[:, :2], axis=1) < 3.0]
+    d, _ = cKDTree(inner).query(inner, k=2)
+    assert np.percentile(d[:, 1], 90) < 0.2
+    # blind-circle fill: first-frame patch reaches under the robot
+    assert np.min(np.linalg.norm(gpts[:, :2], axis=1)) < 0.3
+
+    # end-to-end: the saved artifact uses the patched split
+    sess = MappingSession(cfg=CFG)
+    pos = np.array([-3.0, -3.0, 0.8], np.float32)
+    for t in range(6):
+        p, m = simulate_scan(WORLD, pos, 0.0, n_rings=16, n_cols=250)
+        sess.process_scan(p, m)
+        pos = pos + np.array([0.5, 0.1, 0.0], np.float32)
+    out = str(tmp_path / "pg")
+    sess.save(out)
+    from dddmr_navigation_tpu.state_estimation import read_pose_graph
+    g = read_pose_graph(out)
+    floor_z = -0.8                     # sensor at z=0.8 over the floor
+    for gc in g.ground_clouds:
+        assert np.percentile(np.abs(gc[:, 2] - floor_z), 95) < 0.3
+    # corners-only features: nothing on the floor plane
+    for fc in g.feature_clouds:
+        if len(fc):
+            assert np.mean(np.abs(fc[:, 2] - floor_z) < 0.15) < 0.2
