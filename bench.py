@@ -743,7 +743,9 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True,
     cfg = NavigationConfig(
         perception=PerceptionConfig(lidar=lidar, voxel_window_cells_xy=64,
                                     voxel_window_cells_z=24,
-                                    max_marked_voxels=512),
+                                    max_marked_voxels=512,
+                                    max_window_nodes=2048,
+                                    cluster_pool=2),
         local_planner=LocalPlannerConfig(
             generator=DDSimpleGeneratorConfig(
                 linear_x_sample=16, angular_z_sample=16, max_num_steps=40),
@@ -878,10 +880,12 @@ def bench_config4(robots=64, ticks=10, reps=4, localize=True,
         # derived from the p99 tick (round-5 methodology: the tail, not
         # the best rep, is what a 10 Hz deadline actually meets)
         "robots_at_10hz_per_chip": round(b / p99_s / 10.0, 1),
-        "fidelity": ("mcl(60p, drifting odom) + mark/clear + turning "
+        "fidelity": ("mcl(60p, drifting odom) + mark/clear(0.1m cluster "
+                     "lattice, the reference's own) + turning "
                      "wavefront(w=0.1) + LOS + FSM + rotate recovery"
                      if localize else
-                     "mark/clear + turning wavefront(w=0.1) + LOS + FSM "
+                     "mark/clear(0.1m cluster lattice) + turning "
+                     "wavefront(w=0.1) + LOS + FSM "
                      "+ rotate recovery (ground-truth poses)"),
         "found_last_tick": int(_force(out[1])[-1]),
         "decisions_last_tick": {

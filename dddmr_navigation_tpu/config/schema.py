@@ -243,6 +243,13 @@ class PerceptionConfig:
     path_blocked_check_radius: float = 0.3
     # TPU static shapes
     max_marked_voxels: int = 2048  # padded active-marking set per tick
+    # padded near-window ground-node budget for the dGraph recompute
+    # (size to the nodes inside the marking window + inflation_radius;
+    # the default is generous for real maps, small fleets can shrink it)
+    max_window_nodes: int = 8192
+    # clustering pool factor (see MarkingParams.cluster_pool: 2 at a
+    # 0.05 m grid = the reference's own 0.1 m clustering lattice)
+    cluster_pool: int = 1
     # Voxel window: dense robot-centric occupancy grid (cells per side derived
     # from perception_window_size and xy_resolution at trace time).
     voxel_window_cells_xy: int = 128

@@ -20,13 +20,21 @@ import jax.numpy as jnp
 def first_k_true_indices(mask, k: int):
     """Indices of the first ``k`` True entries of a 1-D mask, ascending,
     padded with -1 — drop-in for ``jnp.nonzero(mask, size=k,
-    fill_value=-1)[0]``."""
+    fill_value=-1)[0]``.
+
+    The ``k >= n`` case ALSO rides top_k (k clamped to n, -1 padding
+    appended): the nonzero fallback's cumsum+scatter lowers to a
+    pathological batched scatter under vmap — measured as the dominant
+    hidden cost of the fleet tick's near-node extraction (the scatter
+    serialized per robot while top_k stays on the sort unit)."""
     n = mask.shape[0]
-    if k >= n:
-        # top_k needs k ≤ n, and at these sizes the cumsum path is cheap
-        return jnp.nonzero(mask, size=k, fill_value=-1)[0]
+    kk = min(k, n)
     iota = jnp.arange(n, dtype=jnp.int32)
     score = jnp.where(mask, -iota, jnp.int32(-n - 1))
-    v, _ = jax.lax.top_k(score, k)
+    v, _ = jax.lax.top_k(score, kk)
     idx = -v
-    return jnp.where(idx > n - 1, -1, idx)
+    idx = jnp.where(idx > n - 1, -1, idx)
+    if kk < k:
+        idx = jnp.concatenate(
+            [idx, jnp.full((k - kk,), -1, jnp.int32)])
+    return idx

@@ -46,7 +46,7 @@ from dddmr_navigation_tpu.perception.fov import (
     RangeImageSpec, sensor_frame_spherical, in_fov, build_range_image,
     _bins as _ri_bins)
 from dddmr_navigation_tpu.perception.clustering import (
-    label_components, cluster_table)
+    label_components, label_components_pooled, cluster_table)
 from dddmr_navigation_tpu.perception.static_map import (
     MapContext, distance_to_ground, near_static)
 from dddmr_navigation_tpu.ops.compaction import first_k_true_indices
@@ -65,6 +65,12 @@ class MarkingParams(NamedTuple):
     segmentation_ignore_ratio: float = 1.1
     cluster_tol_cells: int = 2
     cluster_iters: int = 24
+    # Cluster on a pooled grid (1 = label the fine grid). 2 at a 0.05 m
+    # grid reproduces the REFERENCE's clustering granularity exactly: it
+    # voxel-downsamples to a 0.1 m leaf before EuclideanClusterExtraction
+    # with a 0.1 m tolerance (`multilayer_spinning_lidar.cpp:268,327`),
+    # i.e. connectivity is decided on a 0.1 m lattice there too.
+    cluster_pool: int = 1
     max_clusters: int = 64
     max_marked_voxels: int = 2048
     max_window_nodes: int = 8192
@@ -91,6 +97,8 @@ class MarkingParams(NamedTuple):
             marking_height=lidar.marking_height,
             segmentation_ignore_ratio=lidar.segmentation_ignore_ratio,
             max_marked_voxels=pcfg.max_marked_voxels,
+            max_window_nodes=getattr(pcfg, "max_window_nodes", 8192),
+            cluster_pool=getattr(pcfg, "cluster_pool", 1),
             inflation_radius=pcfg.inflation_radius,
             inscribed_radius=pcfg.inscribed_radius,
             max_obstacle_distance=pcfg.max_obstacle_distance,
@@ -223,11 +231,16 @@ def mark_scan(spec: VoxelSpec, params: MarkingParams, grid, origin,
     scan_occ = jnp.zeros((spec.nx, spec.ny, spec.nz), bool)
     scan_occ = scan_occ.at[local[:, 0], local[:, 1], local[:, 2]].max(ok)
 
-    labels = label_components(scan_occ, params.cluster_tol_cells,
-                              params.cluster_iters)
+    if params.cluster_pool > 1:
+        labels, root_mask = label_components_pooled(
+            scan_occ, params.cluster_pool, params.cluster_iters)
+    else:
+        labels = label_components(scan_occ, params.cluster_tol_cells,
+                                  params.cluster_iters)
+        root_mask = None
     pos = _window_cell_positions(spec, origin)
     centroids, sizes, cell_idx = cluster_table(
-        labels, scan_occ, pos, params.max_clusters)
+        labels, scan_occ, pos, params.max_clusters, root_mask=root_mask)
 
     # Cluster accept tests (reference multilayer_spinning_lidar.cpp:369-432):
     ground_attached = distance_to_ground(map_ctx, centroids) <= 0.05

@@ -178,9 +178,11 @@ def _instance_shading(rng, cls, base, hp, lo, hi):
 
 
 def render_scene19(rng: np.random.Generator, height=240, width=320,
-                   preset: ScenePreset = TRAIN_PRESET):
+                   preset: ScenePreset = TRAIN_PRESET,
+                   return_pose: bool = False):
     """Ray-cast one scene → (rgb (H,W,3) f32, depth_z (H,W) f32,
-    labels (H,W) int32)."""
+    labels (H,W) int32[, (pitch_rad, cam_height) with return_pose —
+    the camera pose the e2e consumers need to map detections to world])."""
     H, W = height, width
     fx = fy = 0.63 * W
     cx, cy = W / 2.0, H / 2.0
@@ -276,8 +278,11 @@ def render_scene19(rng: np.random.Generator, height=240, width=320,
     shade = (1.0 - 0.25 * np.clip(t_safe / 25.0, 0, 1))[..., None]
     rgb = np.where(np.isfinite(t_hit)[..., None], rgb * shade, rgb)
     rgb = rgb + rng.normal(0.0, preset.noise, rgb.shape)
-    return (np.clip(rgb, 0, 1).astype(np.float32),
-            depth_z.astype(np.float32), labels)
+    out = (np.clip(rgb, 0, 1).astype(np.float32),
+           depth_z.astype(np.float32), labels)
+    if return_pose:
+        return out + ((float(pitch), float(origin[2])),)
+    return out
 
 
 def make_batch19(rng, n, height=240, width=320,

@@ -82,6 +82,16 @@ def build_ground_graph(ground_pts: np.ndarray,
         nbr_dist[i, : len(ids)] = d
 
     valid = nbr_idx >= 0
+    # Trim all-padding trailing columns: per-row entries are distance-
+    # sorted prefixes, so the table's true width is the max row degree.
+    # k_max=16 with a typical max degree of 8-12 would make every (G, K)
+    # gather in the relaxation/extraction carry 25-50% dead lanes — at
+    # fleet scale the (G, K, R, B) relax gather is the single biggest
+    # tensor of the tick, so the trim is a direct win everywhere.
+    kmax_eff = max(int(valid.sum(axis=1).max()), 1)
+    nbr_idx = nbr_idx[:, :kmax_eff]
+    nbr_dist = nbr_dist[:, :kmax_eff]
+    valid = valid[:, :kmax_eff]
     return GroundGraph(
         nbr_idx=nbr_idx.astype(np.int32),
         nbr_dist=nbr_dist.astype(np.float32),

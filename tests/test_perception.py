@@ -367,3 +367,43 @@ class TestClearWindowRotation:
         st3 = perception_update(spec, ri, params, st2, ctx, scan, smask,
                                 jnp.zeros(3), q, sensor, q)
         assert int(st3.clear_offset) == 2 * params.max_marked_voxels
+
+
+def test_pooled_clustering_matches_fine_on_separated_clusters():
+    """cluster_pool=2 (the reference's own 0.1 m clustering lattice —
+    it voxel-downsamples to 0.1 m before EuclideanClusterExtraction,
+    `multilayer_spinning_lidar.cpp:268,327`) must produce the same
+    cluster decomposition as fine-grid labeling for well-separated
+    obstacles: same cluster count, same per-cluster cell memberships,
+    centroids within the pooling quantum."""
+    import jax.numpy as jnp
+    from dddmr_navigation_tpu.perception.clustering import (
+        label_components, label_components_pooled, cluster_table)
+
+    occ = np.zeros((32, 32, 16), bool)
+    occ[4:8, 4:8, 0:10] = True          # box A
+    occ[20:23, 18:22, 0:6] = True       # box B (far from A)
+    occ[10, 28, 2] = True               # lone voxel C
+    occj = jnp.asarray(occ)
+    pos = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(32), np.arange(32), np.arange(16),
+                             indexing="ij"), -1).astype(np.float32) * 0.05)
+
+    lab_f = label_components(occj, 2, 24)
+    cf, sf, idx_f = cluster_table(lab_f, occj, pos, 8)
+    lab_p, root = label_components_pooled(occj, 2, 24)
+    cp, sp, idx_p = cluster_table(lab_p, occj, pos, 8, root_mask=root)
+
+    nf = int((np.asarray(sf) > 0).sum())
+    npo = int((np.asarray(sp) > 0).sum())
+    assert nf == npo == 3
+    # same memberships: cells sharing a fine cluster share a pooled one
+    fi = np.asarray(idx_f)[occ]
+    pi = np.asarray(idx_p)[occ]
+    for k in np.unique(fi):
+        assert len(np.unique(pi[fi == k])) == 1
+    # centroids agree (order may differ) within the pooling quantum
+    cf_v = np.asarray(cf)[np.asarray(sf) > 0]
+    cp_v = np.asarray(cp)[np.asarray(sp) > 0]
+    for row in cf_v:
+        assert np.min(np.linalg.norm(cp_v - row, axis=1)) < 1e-5
