@@ -435,14 +435,17 @@ def fused_pre_plan(nav_cfg: NavigationConfig, spec: VoxelSpec,
 def fused_post_plan(nav_cfg: NavigationConfig, generator: str,
                     fmap: FusedMap, pre: FusedPrePlan, res,
                     scan_mask, robot_pos, robot_quat, v_now, w_now,
-                    wf_stall=0) -> tuple:
+                    wf_stall=0, plan=None) -> tuple:
     """Stages 4–6 of the fused vertical AFTER the relaxation+extraction
     (``res`` is the GlobalPathResult): device path interpolation, this
     tick's aggregated observation, prune → rollouts → critics → argmin,
-    and state/out assembly."""
+    and state/out assembly. Fleets pass a precomputed ``plan`` (the
+    flat-scatter fleet interpolation) — the per-robot scatter is a
+    pathological batched scatter under vmap."""
     # 4. node path → interpolated plan (getROSPath) on device
-    plan = interpolate_path_device(
-        fmap.ground, res, max_plan_len=nav_cfg.local_planner.max_plan_len)
+    if plan is None:
+        plan = interpolate_path_device(
+            fmap.ground, res, max_plan_len=nav_cfg.local_planner.max_plan_len)
 
     # 5. observation from THIS scan (+ the latest depth points — the
     # aggregated observation, `stacked_perception.cpp:128-140`);
@@ -469,6 +472,68 @@ def fused_post_plan(nav_cfg: NavigationConfig, generator: str,
                       depth_marking=pre.depth_marking,
                       depth_buffer=pre.depth_buffer,
                       wf_stall=wf_stall), out
+
+
+def fleet_interpolate_path_device(ground, res, *, max_plan_len: int,
+                                  interp_steps: int = 19,
+                                  step: float = 0.05, min_emit: float = 0.1
+                                  ) -> GlobalPlan:
+    """Robot-batched `interpolate_path_device` with the output compaction
+    as ONE flat 1-D scatter (robot-offset target indices): under vmap the
+    per-robot (L·E → max_plan_len) scatter lowers to the pathological
+    batched scatter path (~10 ms of the 64-robot tick). Emission logic,
+    constants, and results are element-for-element identical; ``res`` is
+    a robot-batched GlobalPathResult."""
+    R, L = res.node_ids.shape
+    valid = res.node_valid                                  # (R, L)
+    n = res.length                                          # (R,)
+    ids = jnp.maximum(res.node_ids, 0)
+    pts = ground[ids]                                       # (R, L, 3)
+    slots = jnp.arange(L)[None, :]
+    has_next = valid & (slots < n[:, None] - 1)
+    ids_next = jnp.take_along_axis(ids, jnp.minimum(slots + 1, L - 1),
+                                   axis=1)
+    nxt = jnp.where(has_next[:, :, None], ground[ids_next], pts)
+    v = nxt - pts                                           # (R, L, 3)
+    quats = slope_aware_quat(v.reshape(-1, 3)).reshape(R, L, 4)
+
+    steps = jnp.asarray(np.arange(step, 0.99, step, dtype=np.float32)
+                        [:interp_steps])
+
+    def body(last, s):
+        cand = pts + v * s
+        emit = jnp.linalg.norm(cand - last, axis=-1) > jnp.float32(min_emit)
+        new_last = jnp.where(emit[..., None], cand, last)
+        return new_last, (emit, cand)
+
+    _, (emits, cands) = jax.lax.scan(body, pts, steps)
+    emits = jnp.moveaxis(emits, 0, 2)                       # (R, L, S)
+    cands = jnp.moveaxis(cands, 0, 2)                       # (R, L, S, 3)
+
+    E = interp_steps + 1
+    emit_all = jnp.concatenate([valid[:, :, None],
+                                emits & has_next[:, :, None]], axis=2)
+    pos_all = jnp.concatenate([pts[:, :, None, :], cands], axis=2)
+    quat_all = jnp.broadcast_to(quats[:, :, None, :], (R, L, E, 4))
+
+    flat_emit = emit_all.reshape(R, -1)                     # (R, L*E)
+    out_idx = jnp.cumsum(flat_emit, axis=1) - 1
+    count = jnp.minimum(jnp.sum(flat_emit, axis=1),
+                        max_plan_len).astype(jnp.int32)     # (R,)
+    keep = flat_emit & (out_idx < max_plan_len)
+    tgt = jnp.where(keep,
+                    jnp.arange(R)[:, None] * max_plan_len + out_idx,
+                    R * max_plan_len)                       # flat ids
+    pos_buf = jnp.zeros((R * max_plan_len, 3), jnp.float32).at[
+        tgt.reshape(-1)].set(pos_all.reshape(-1, 3), mode="drop")
+    quat_buf = jnp.zeros((R * max_plan_len, 4), jnp.float32).at[
+        tgt.reshape(-1)].set(quat_all.reshape(-1, 4), mode="drop")
+    plan_valid = (jnp.arange(max_plan_len)[None, :] < count[:, None]) \
+        & res.ok[:, None]
+    count = jnp.where(res.ok, count, 0)
+    return GlobalPlan(pos_buf.reshape(R, max_plan_len, 3),
+                      quat_buf.reshape(R, max_plan_len, 4),
+                      plan_valid, count)
 
 
 def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,

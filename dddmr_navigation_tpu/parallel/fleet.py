@@ -331,7 +331,7 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
     gather per edge instead of R separate gather passes.
     """
     from dddmr_navigation_tpu.control.fused import (
-        fused_pre_plan, fused_post_plan)
+        fused_pre_plan, fused_post_plan, fleet_interpolate_path_device)
     from dddmr_navigation_tpu.control.fsm import (
         FSMInputs, fsm_step, Decision, CmdSource)
     from dddmr_navigation_tpu.control.recovery import (
@@ -379,11 +379,11 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
                 mcl_err, match_ratio)
 
     def post_one(s, pre, res, smask, plan_pos, plan_quat, mcl2, odom_pos,
-                 odom_quat, mcl_err, match_ratio, wf_stall):
+                 odom_quat, mcl_err, match_ratio, wf_stall, plan):
         # --- 2b. extract + rollouts (simple generator) -------------------
         fused2, out = fused_post_plan(
             nav_cfg, "differential_drive_simple", fmap, pre, res, smask,
-            plan_pos, plan_quat, s.v, s.w, wf_stall=wf_stall)
+            plan_pos, plan_quat, s.v, s.w, wf_stall=wf_stall, plan=plan)
 
         # --- 3. predicates + rotate-generator command --------------------
         init_dev, init_aligned, _ = initial_heading_deviation(
@@ -513,11 +513,15 @@ def fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params, fmap, state,
         gp, fmap.nbr_idx, fmap.nbr_dist, fmap.ground, prep, dist_r, iters,
         turn_pen=fmap.turn_pen, wf_bins=fmap.wf_bins,
         stall_reset=stall_reset)
+    # fleet path interpolation with a flat output scatter (the per-robot
+    # scatter is pathological under vmap)
+    plans = fleet_interpolate_path_device(
+        fmap.ground, res, max_plan_len=lp_cfg.max_plan_len)
 
     # stage C (vmapped): extraction consumers — rollouts, FSM, recovery
     return jax.vmap(post_one)(state, pre, res, scan_masks, plan_pos,
                               plan_quat, mcl2, odom_pos, odom_quat,
-                              mcl_err, match_ratio, wf_stall)
+                              mcl_err, match_ratio, wf_stall, plans)
 
 
 def sharded_fleet_full_tick(nav_cfg, mb_cfg, spec, ri_spec, params,

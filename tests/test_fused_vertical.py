@@ -417,3 +417,38 @@ def test_budgeted_relaxation_amortizes_cold_solve(setup):
                                np.asarray(out_full.plan.positions),
                                atol=1e-5)
     assert int(out.plan.count) == int(out_full.plan.count)
+
+
+def test_fleet_interpolation_matches_per_robot(setup):
+    """fleet_interpolate_path_device (flat-scatter batched) must be
+    emission-for-emission identical to interpolate_path_device."""
+    import jax
+    from dddmr_navigation_tpu.control.fused import (
+        interpolate_path_device, fleet_interpolate_path_device)
+    from dddmr_navigation_tpu.planning.global_.planner import (
+        GlobalPathResult)
+    cfg, ground, fmap, _, _, _, _ = setup
+    rng = np.random.default_rng(0)
+    L, R = 64, 5
+    rows = []
+    for r in range(R):
+        n = int(rng.integers(2, 40))
+        ids = rng.integers(0, len(ground), size=L).astype(np.int32)
+        valid = np.arange(L) < n
+        rows.append(GlobalPathResult(
+            node_ids=jnp.asarray(ids), node_valid=jnp.asarray(valid),
+            length=jnp.asarray(n, jnp.int32), ok=jnp.asarray(True),
+            dist_to_goal=jnp.zeros(3), dist_carry=jnp.zeros(3),
+            goal_idx=jnp.asarray(0, jnp.int32),
+            iters=jnp.asarray(1, jnp.int32)))
+    res_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rows)
+    batched = fleet_interpolate_path_device(fmap.ground, res_b,
+                                            max_plan_len=128)
+    for r in range(R):
+        solo = interpolate_path_device(fmap.ground, rows[r],
+                                       max_plan_len=128)
+        np.testing.assert_array_equal(np.asarray(batched.valid[r]),
+                                      np.asarray(solo.valid))
+        np.testing.assert_allclose(np.asarray(batched.positions[r]),
+                                   np.asarray(solo.positions), atol=0)
+        assert int(batched.count[r]) == int(solo.count)
