@@ -1051,6 +1051,17 @@ def bench_config4_real(robots=64, ticks=10, reps=3, localize=True,
         return s1
 
     @jax.jit
+    def warm_chain(fmap_a, submap_a, states, scans_a, masks_a, goals_a):
+        # untimed convergence warm-up: with a per-tick relaxation budget
+        # the 64 distinct goal fields need cumulative-budget iterations
+        # to reach their robots; the steady 10 Hz loop is timed AFTER the
+        # fleet is navigating (plans held), like config3_real's split
+        final, outs = jax.lax.scan(
+            body_of(fmap_a, submap_a, scans_a, masks_a, goals_a),
+            states, 1 + jnp.arange(30))
+        return final, outs[2][-1]
+
+    @jax.jit
     def run(fmap_a, submap_a, states, scans_a, masks_a, goals_a):
         final, outs = jax.lax.scan(
             body_of(fmap_a, submap_a, scans_a, masks_a, goals_a),
@@ -1067,6 +1078,13 @@ def bench_config4_real(robots=64, ticks=10, reps=3, localize=True,
     state1 = jax.block_until_ready(warm_one(*cold_args))
     cold_tick_ms = 1e3 * (time.perf_counter() - t0)
     warm_compile_s -= cold_tick_ms / 1e3
+    warm_ticks = 1
+    for _ in range(4):           # up to 121 warm ticks for budgeted fields
+        state1, ok_now = warm_chain(fmap, submap, state1, scans_j, masks_j,
+                                    goals_j)
+        warm_ticks += 30
+        if int(_force(ok_now)) >= b - 3:
+            break
 
     def make_args():
         return (fmap, submap, state1, scans_j, masks_j, goals_j)
@@ -1087,6 +1105,7 @@ def bench_config4_real(robots=64, ticks=10, reps=3, localize=True,
         "rollouts_per_tick": b * s_padded,
         "robots_at_10hz_per_chip": round(b / p99_s / 10.0, 1),
         "relax_budget_per_tick": relax_budget,
+        "warm_ticks_before_timing": warm_ticks,
         "goals": "64 distinct, >=20 m away, mixed directions",
         "fidelity": ("mcl(60p corr, drifting odom, real map) + mark/clear "
                      "+ wavefront(w_turn=0 fleet relax, see "

@@ -602,24 +602,23 @@ def fused_tick(nav_cfg: NavigationConfig, spec: VoxelSpec,
 
 
 def budget_stall_update(gp, wf_stall, iters):
-    """Stall bookkeeping for the budgeted relaxation
-    (``relax_iters_per_tick > 0``): returns (stall_reset, new_counter).
-    With no budget, classic semantics (reset when a single solve hits
-    ``max_relax_iters``) and the counter passes through untouched.
-
-    A budgeted tick that exits AT its budget did not converge — normal
-    while a fresh goal's field spreads. The carry must only be reset (the
-    unreachable-pocket safety) once the CUMULATIVE budgeted iterations
-    since the last convergence reach the cold bound ``max_relax_iters`` —
-    the same total work after which the one-shot path gives up."""
+    """Carry-reset policy vs the relaxation budget: returns
+    (stall_reset, new_counter). With no budget, classic semantics (reset
+    when a single solve hits ``max_relax_iters`` — the round-4 regression
+    against unreachable pockets pinning EVERY later warm tick at the
+    iteration cap). With a budget the reset is OFF: the per-tick cost the
+    reset existed to avoid is already bounded at ``relax_iters_per_tick``,
+    and exiting AT the budget is NORMAL under fleet-scale churn (every
+    moving robot repairs its own field every tick) — a consecutive-non-
+    convergence counter misfires there, cyclically wiping every robot's
+    field (measured: a 64-robot real-map fleet lost all plans every ~64
+    ticks). An unreachable pocket under budget merely keeps its values
+    rising inside the bounded budget while reachable regions still
+    converge; extraction into it correctly reports failure."""
     budget = gp.relax_iters_per_tick
     if budget <= 0:
         return None, wf_stall
-    nonconv = iters >= budget
-    counter = jnp.where(nonconv, wf_stall + 1, 0)
-    stall_reset = nonconv & (counter * budget >= gp.max_relax_iters)
-    counter = jnp.where(stall_reset, 0, counter)
-    return stall_reset, counter
+    return jnp.zeros_like(wf_stall, dtype=bool), wf_stall
 
 
 def make_fused_tick(nav_cfg: NavigationConfig,
