@@ -33,6 +33,15 @@ def main():
                     "generator-independent eval)")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--cache", type=int, default=0,
+                    help="mapillary19 only: pre-render this many train "
+                    "scenes once and sample batches from the cache "
+                    "(host ray-casting is the step bottleneck otherwise)")
+    ap.add_argument("--aug", action="store_true",
+                    help="mapillary19 only: standard train-time "
+                    "augmentation (h-flip, photometric jitter, random "
+                    "resized crop). Generator presets are untouched — "
+                    "the train/eval family disjointness is unchanged.")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=0)
@@ -82,12 +91,67 @@ def main():
         out = args.out or os.path.join(REPO, "artifacts",
                                        "semantic_ddrnet19.npz")
 
+        def _augment_one(rng, rgb, lab):
+            """Standard segmentation train-time augmentation (the kind
+            any real Mapillary training run uses): horizontal flip,
+            photometric jitter (gamma/contrast/tint/noise), random
+            resized crop. Operates on already-rendered TRAIN-family
+            scenes only — the generator presets (layout family, pitch,
+            camera height) that define the train/eval disjointness are
+            not touched."""
+            H, W = lab.shape
+            if rng.random() < 0.5:            # h-flip (also removes any
+                rgb = rgb[:, ::-1]            # lighting-direction latch)
+                lab = lab[:, ::-1]
+            if rng.random() < 0.8:            # random resized crop
+                s = rng.uniform(0.55, 1.0)
+                ch, cw = max(int(H * s), 8), max(int(W * s), 8)
+                y0 = rng.integers(0, H - ch + 1)
+                x0 = rng.integers(0, W - cw + 1)
+                yy = np.clip((np.arange(H) + 0.5) * ch / H - 0.5,
+                             0, ch - 1).round().astype(int) + y0
+                xx = np.clip((np.arange(W) + 0.5) * cw / W - 0.5,
+                             0, cw - 1).round().astype(int) + x0
+                rgb = rgb[yy][:, xx]
+                lab = lab[yy][:, xx]
+            rgb = np.clip(rgb, 1e-4, 1.0) ** np.exp(rng.uniform(-.3, .3))
+            rgb = (rgb - 0.5) * rng.uniform(0.8, 1.25) + 0.5
+            rgb = rgb + rng.uniform(-0.10, 0.10, 3).astype(np.float32)
+            rgb = rgb + rng.normal(0.0, rng.uniform(0.0, 0.05),
+                                   rgb.shape).astype(np.float32)
+            return np.clip(rgb, 0, 1).astype(np.float32), lab
+
+        cache_scenes = None
+        if args.cache:
+            print(f"pre-rendering {args.cache} train-family scenes...",
+                  flush=True)
+            t_c = time.time()
+            c_rng = np.random.default_rng(args.seed + 777)
+            cache_scenes = [
+                (lambda o: (o[0], o[2]))(
+                    s19.render_scene19(c_rng, *hw, s19.TRAIN_PRESET))
+                for _ in range(args.cache)]
+            print(f"cache built in {time.time()-t_c:.0f}s", flush=True)
+
         def train_batch(rng):
-            return s19.make_batch19(rng, args.batch, *hw,
-                                    preset=s19.TRAIN_PRESET)
+            if cache_scenes is not None:
+                idx = rng.choice(len(cache_scenes), args.batch,
+                                 replace=False)
+                pairs = [cache_scenes[i] for i in idx]
+            else:
+                pairs = [
+                    (lambda o: (o[0], o[2]))(
+                        s19.render_scene19(rng, *hw, s19.TRAIN_PRESET))
+                    for _ in range(args.batch)]
+            if args.aug:
+                pairs = [_augment_one(rng, r, l) for r, l in pairs]
+            rgbs, labs = zip(*pairs)
+            return np.stack(rgbs), np.stack(labs)
 
         def eval_batches(eval_rng):
-            return s19.make_batch19(eval_rng, 8, *hw,
+            # 32 scenes: the headline mIoU should be a population
+            # statistic, not an 8-scene draw
+            return s19.make_batch19(eval_rng, 32, *hw,
                                     preset=s19.EVAL_PRESET)
         eval_note = (f"DISJOINT generator family "
                      f"({s19.EVAL_PRESET.name} vs "
@@ -127,8 +191,12 @@ def main():
     t0 = time.time()
     for i in range(steps):
         rgb, labels = train_batch(rng)
+        # ship images bf16 (the net casts to bf16 at entry anyway) —
+        # halves host->device transfer, which dominates the step wall
+        # time on remote-attached devices
         params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(rgb), jnp.asarray(labels))
+                                       jnp.asarray(rgb, jnp.bfloat16),
+                                       jnp.asarray(labels))
         if i % 25 == 0:
             print(f"step {i}: loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
