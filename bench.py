@@ -958,7 +958,17 @@ def bench_config4_real(robots=64, ticks=10, reps=3, localize=True,
         base,
         perception=replace(base.perception, lidar=lidar,
                            voxel_window_cells_xy=64,
-                           voxel_window_cells_z=24, max_marked_voxels=512),
+                           voxel_window_cells_z=24, max_marked_voxels=512,
+                           # the 6.4 m window + inflation covers ~70 m^2;
+                           # at the real map's ~10 nodes/m^2 that is ~700
+                           # nodes, so 2048 is 3x headroom — the 8192
+                           # default quadruples the dgraph pairwise
+                           # matrices and the per-robot top_k for nothing
+                           max_window_nodes=2048,
+                           # decide connectivity on the reference's own
+                           # 0.1 m cluster lattice (config4 already does;
+                           # fine-grid CCL was ~23 ms of this tick)
+                           cluster_pool=2),
         local_planner=replace(
             base.local_planner,
             generator=replace(base.local_planner.generator,

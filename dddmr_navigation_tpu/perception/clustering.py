@@ -50,19 +50,35 @@ def label_components(occ, tol_cells: int = 2, num_iters: int = 24):
     import numpy as np
     big = np.int32(x * y * z + 1)  # concrete: reduce_window init must not trace
     labels = jnp.where(occ, lin, big)
-    win = 2 * tol_cells + 1
+
+    def _axis_min(a, axis):
+        # 1-D window min via shifted elementwise minima. Equivalent to
+        # lax.reduce_window(min, SAME, init=big) — SAME pads with the
+        # init value, and a shift beyond the edge pads with big here too
+        # — but lowers to a handful of fusable slice+min ops instead of
+        # a reduce_window invocation. At fleet scale the reduce_window
+        # form cost ~0.45 ms PER CALL on a (64,32,32,12) pooled grid
+        # (up to 24 sweeps x 3 axes = ~30 ms/tick, the single biggest
+        # op of the whole tick); the shift form fuses into the sweep.
+        out = a
+        n = a.shape[axis]
+        for d in range(1, tol_cells + 1):
+            lo = lax.slice_in_dim(a, d, n, axis=axis)
+            hi = lax.slice_in_dim(a, 0, n - d, axis=axis)
+            pad_cfg = [(0, 0, 0)] * a.ndim
+            pad_cfg[axis] = (0, d, 0)
+            out = jnp.minimum(out, lax.pad(lo, big, pad_cfg))
+            pad_cfg[axis] = (d, 0, 0)
+            out = jnp.minimum(out, lax.pad(hi, big, pad_cfg))
+        return out
 
     def body(carry):
         lbl, _, it = carry
         # Separable: the min over the (win,win,win) cube equals three 1-D
         # window mins run in sequence — 3·win ops/cell instead of win³.
         prop = lbl
-        for dims in ((win, 1, 1), (1, win, 1), (1, 1, win)):
-            prop = lax.reduce_window(
-                prop, big, lax.min,
-                window_dimensions=dims, window_strides=(1, 1, 1),
-                padding="SAME",
-            )
+        for axis in (0, 1, 2):
+            prop = _axis_min(prop, axis)
         new = jnp.where(occ, jnp.minimum(lbl, prop), big)
         return new, jnp.any(new != lbl), it + 1
 

@@ -336,7 +336,6 @@ def fleet_wavefront_distances(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
     big = jnp.float32(jnp.inf)
     safe_idx = jnp.maximum(nbr_idx, 0)
     enter_t = jnp.moveaxis(enter_cost_r, 0, 1)             # (G, R)
-    enter_g = enter_t[safe_idx]                            # (G, K, R)
     valid_gkr = jnp.moveaxis(nbr_valid_r, 0, 2)            # (G, K, R)
     dist0 = (jnp.full((g, r), big) if dist0_r is None
              else jnp.moveaxis(dist0_r, 0, 1))
@@ -344,23 +343,39 @@ def fleet_wavefront_distances(nbr_idx, nbr_dist, nbr_valid_r, enter_cost_r,
     goal_mask = node_iota[:, None] == goal_idx_r[None, :]  # (G, R)
     dist0 = jnp.where(goal_mask, 0.0, dist0)
 
+    # Potential transform: relax F = dist + enter instead of dist. The
+    # update dist[u] = min_v (dist[v] + d_uv + enter[v]) + int[u] becomes
+    # F[u] = min_v (F[v] + d_uv) + (int[u] + enter[u]) — the per-neighbor
+    # enter gather (a (G, K, R) stream per iteration, ~1/3 of the loop's
+    # HBM traffic at 27k-node fleet scale) collapses into a per-node
+    # constant added AFTER the min. One exact dist-space pass at the end
+    # recovers dist for EVERY node — including lethal nodes (enter = inf)
+    # where F is inf but dist itself is finite, which the warm-start
+    # carry and the start-reachability check both rely on.
+    c_node = enter_t + avg_intensity[:, None]              # (G, R)
+    f0 = jnp.where(goal_mask, enter_t, dist0 + enter_t)
+
     def body(carry):
-        dist, _, it = carry                                # (G, R)
-        nd = dist[safe_idx]                                # (G, K, R)
-        cand = nd + nbr_dist[:, :, None] + enter_g \
-            + avg_intensity[:, None, None]
-        cand = jnp.where(valid_gkr, cand, big)
-        new = jnp.min(cand, axis=1)                        # (G, R)
-        new = jnp.where(goal_mask, 0.0, new)
-        changed = jnp.any(new != dist)
+        f, _, it = carry                                   # (G, R)
+        nf = f[safe_idx]                                   # (G, K, R)
+        cand = jnp.where(valid_gkr, nf + nbr_dist[:, :, None], big)
+        new = jnp.min(cand, axis=1) + c_node               # (G, R)
+        new = jnp.where(goal_mask, enter_t, new)
+        changed = jnp.any(new != f)
         return new, changed, it + 1
 
     def cond(carry):
         _, changed, it = carry
         return changed & (it < max_iters)
 
-    dist, _, iters = lax.while_loop(
-        cond, body, (dist0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    f, _, iters = lax.while_loop(
+        cond, body, (f0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    # exact dist-space finish (the defining update, one pass)
+    nf = f[safe_idx]
+    cand = jnp.where(valid_gkr,
+                     nf + nbr_dist[:, :, None]
+                     + avg_intensity[:, None, None], big)
+    dist = jnp.where(goal_mask, 0.0, jnp.min(cand, axis=1))
     return jnp.moveaxis(dist, 0, 1), iters                 # (R, G)
 
 

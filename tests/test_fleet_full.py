@@ -251,3 +251,50 @@ def test_track_twist_acceleration_limits():
                             1.0 / 10.0, gen.limits)
         assert vs.min() - 1e-5 <= float(va) <= vs.max() + 1e-5, (
             v0, cmd, float(va), vs.min(), vs.max())
+
+
+def test_fleet_relax_matches_solo_per_robot():
+    """The F-space fleet relaxation (potential transform, one joint
+    node-major program) must reproduce the per-robot solo relaxation
+    field — cold AND warm-restarted — including FINITE dists at lethal
+    nodes (enter = inf), which the warm carry and start-reachability
+    check consume."""
+    from dddmr_navigation_tpu.planning.global_.wavefront import (
+        wavefront_distances, fleet_wavefront_distances)
+
+    rng = np.random.default_rng(1)
+    g, k, r = 300, 8, 5
+    pos = rng.uniform(0, 10, (g, 2))
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argsort(d2, 1)[:, :k].astype(np.int32)
+    nd = np.sqrt(np.take_along_axis(d2, nbr, 1)).astype(np.float32)
+    valid_r = np.broadcast_to(nd < 1.5, (r, g, k)).copy()
+    valid_r[rng.random((r, g, k)) < 0.05] = False
+    enter = rng.exponential(0.3, (r, g)).astype(np.float32)
+    enter[rng.random((r, g)) < 0.08] = np.inf
+    intens = rng.exponential(0.1, g).astype(np.float32)
+    goals = rng.integers(0, g, r).astype(np.int32)
+
+    fd, _ = fleet_wavefront_distances(
+        jnp.asarray(nbr), jnp.asarray(nd), jnp.asarray(valid_r),
+        jnp.asarray(enter), jnp.asarray(intens), jnp.asarray(goals),
+        max_iters=512)
+    fd = np.asarray(fd)
+    assert np.isfinite(fd[enter == np.inf]).sum() > 0  # lethal nodes live
+
+    enter2 = enter * rng.uniform(0.9, 1.2, enter.shape).astype(np.float32)
+    fd2 = np.asarray(fleet_wavefront_distances(
+        jnp.asarray(nbr), jnp.asarray(nd), jnp.asarray(valid_r),
+        jnp.asarray(enter2), jnp.asarray(intens), jnp.asarray(goals),
+        max_iters=512, dist0_r=jnp.asarray(fd))[0])
+    for i in range(r):
+        for e, f in ((enter, fd), (enter2, fd2)):
+            sd = np.asarray(wavefront_distances(
+                jnp.asarray(nbr), jnp.asarray(nd), jnp.asarray(valid_r[i]),
+                jnp.asarray(e[i]), jnp.asarray(intens),
+                jnp.asarray(goals[i]), max_iters=512).dist)
+            assert np.array_equal(np.isfinite(sd), np.isfinite(f[i]))
+            m = np.isfinite(sd)
+            np.testing.assert_allclose(f[i][m], sd[m], rtol=2e-6,
+                                       atol=1e-5)
